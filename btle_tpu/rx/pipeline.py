@@ -1,0 +1,161 @@
+"""Dense TPU receive pipeline: demod -> AA correlate -> dewhiten -> CRC.
+
+Design (vs the reference's sample-serial scan, btle_rx.c:2188-2391 and
+btlelib.py:414-541): everything is computed densely over a fixed-shape IQ
+block with no data-dependent control flow, so XLA compiles one fused
+program per block shape:
+
+  1. phase-difference decisions over the full-rate lattice (VPU),
+  2. access-address correlation as a 32-tap symbol-dilated convolution,
+  3. top-K earliest hit positions (sort of a masked iota),
+  4. per-candidate (vmap) gather of the max-length packet bit window,
+     XOR de-whitening, byte packing via a bits->bytes dot,
+  5. CRC24 prefix scan over all 42 candidate bytes with the verdict
+     selected at the data-dependent payload length — variable-length
+     packets without recompilation or early exit.
+
+The early-exit/first-hit semantics of the reference are reproduced by the
+host-side decoder (btle_tpu.rx.decoder) on top of these dense results.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..phy.demodulator import aa_match_counts, decisions
+from ..spec.constants import MAX_PDU_CRC_BITS, MAX_PDU_CRC_BYTE
+from ..spec.crc24 import CRC24_TABLE
+
+AA_BITS = 32
+_BYTE_WEIGHTS = np.array([1, 2, 4, 8, 16, 32, 64, 128], dtype=np.int32)
+
+
+def required_halo(sps: int, lag: int) -> int:
+    """Samples needed beyond a hit position to decode a max-length packet."""
+    return (AA_BITS + MAX_PDU_CRC_BITS) * sps + lag
+
+
+@partial(jax.jit, static_argnames=("sps", "lag"))
+def scan_block(i, q, aa_bits, aa_mask, sps: int, lag: int):
+    """(hit_mask, bit_lattice) for one IQ block.
+
+    hit_mask[n] is True iff an access address starts at full-rate lattice
+    position n (all unmasked AA bits match with symbol stride sps).
+    """
+    bits = decisions(i, q, lag)
+    counts = aa_match_counts(bits, aa_bits, aa_mask, sps)
+    n_mask = jnp.sum(aa_mask.astype(jnp.int32))
+    return counts == n_mask, bits
+
+
+def _crc_prefix_states(pkt_bytes: jnp.ndarray, init: jnp.ndarray, table: jnp.ndarray):
+    """states_after[k] = CRC state after bytes 0..k (reflected table form,
+    btle_rx.c:1211-1222), as a lax.scan of gather+xor."""
+
+    def step(state, byte):
+        idx = jnp.bitwise_and(jnp.bitwise_xor(state, byte), 0xFF)
+        nxt = jnp.bitwise_xor(table[idx], jnp.right_shift(state, 8))
+        return nxt, nxt
+
+    _, states = jax.lax.scan(step, init, pkt_bytes.astype(jnp.int32))
+    return states
+
+
+def _decode_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
+    """Decode one candidate AA hit at lattice position ``pos``.
+
+    Returns (plen, crc_ok, pdu_bytes[42], len_ok).
+    """
+    m = bits.shape[0]
+    idx = pos + AA_BITS * sps + jnp.arange(MAX_PDU_CRC_BITS, dtype=jnp.int32) * sps
+    raw = jnp.take(bits, jnp.clip(idx, 0, m - 1))
+    dew = jnp.bitwise_xor(raw.astype(jnp.int32), whiten.astype(jnp.int32))
+    pkt_bytes = jnp.dot(
+        dew.reshape(MAX_PDU_CRC_BYTE, 8).astype(jnp.float32),
+        jnp.asarray(_BYTE_WEIGHTS, jnp.float32),
+    ).astype(jnp.int32)
+
+    hdr_bits = dew[8:14]
+    plen6 = jnp.dot(hdr_bits.astype(jnp.int32), jnp.asarray(_BYTE_WEIGHTS[:6] // 1))
+    plen5 = jnp.dot(dew[8:13].astype(jnp.int32), jnp.asarray(_BYTE_WEIGHTS[:5] // 1))
+    plen = jnp.where(adv_flag, plen6, plen5)
+    # ADV payload must be 6..37 (btle_rx.c:2293); data-channel max 31 by field width
+    len_ok = jnp.where(adv_flag, (plen >= 6) & (plen <= 37), plen <= 31)
+    plen_c = jnp.clip(plen, 0, 37)
+
+    states = _crc_prefix_states(pkt_bytes, crc_init, table)
+    crc_state = states[plen_c + 1]  # after header(2) + payload(plen) bytes
+    crc_rcv = (
+        pkt_bytes[plen_c + 2]
+        + pkt_bytes[plen_c + 3] * 256
+        + pkt_bytes[plen_c + 4] * 65536
+    )
+    crc_ok = (crc_state == crc_rcv) & len_ok
+    return plen, crc_ok, pkt_bytes, len_ok
+
+
+@partial(jax.jit, static_argnames=("sps", "lag", "max_candidates"))
+def decode_block(
+    i,
+    q,
+    aa_bits,
+    aa_mask,
+    whiten,
+    crc_init,
+    adv_flag,
+    sps: int,
+    lag: int,
+    max_candidates: int = 16,
+):
+    """Fully dense block decode. Returns a dict of per-candidate arrays
+    (earliest ``max_candidates`` AA hits) plus the total hit count.
+
+    i, q:      (N,) int8/int16 IQ block
+    aa_bits:   (32,) 0/1 over-the-air access-address bits
+    aa_mask:   (32,) 0/1 per-bit care mask (--access_mask, btle_rx.c:1510)
+    whiten:    (336,) whitening bit sequence for the channel
+    crc_init:  int32 table-form CRC init
+    adv_flag:  bool scalar — advertising (6-bit length) vs data channel
+    """
+    hit, bits = scan_block(i, q, aa_bits, aa_mask, sps, lag)
+    npos = hit.shape[0]
+    big = jnp.int32(np.iinfo(np.int32).max // 2)
+    pos_or_big = jnp.where(hit, jnp.arange(npos, dtype=jnp.int32), big)
+    top = jnp.sort(pos_or_big)[:max_candidates]
+    valid = top < big
+    pos = jnp.where(valid, top, 0)
+
+    table = jnp.asarray(CRC24_TABLE.astype(np.int32))
+    plen, crc_ok, pkt_bytes, len_ok = jax.vmap(
+        lambda p: _decode_candidate(p, bits, whiten, crc_init, adv_flag, table, sps)
+    )(pos)
+
+    # RSSI statistic: mean(|I|+|Q|) over the 32-symbol AA window
+    # (btle_rx.c:2234-2252). Converted to dBm-ish on the host.
+    win = AA_BITS * sps
+    mag = jnp.abs(i.astype(jnp.int32)) + jnp.abs(q.astype(jnp.int32))
+    cmag = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(mag)])
+    upper = jnp.clip(pos + win, 0, mag.shape[0])
+    mag_mean = (cmag[upper] - cmag[pos]).astype(jnp.float32) / jnp.float32(win)
+
+    return {
+        "pos": pos,
+        "valid": valid,
+        "payload_len": plen,
+        "len_ok": len_ok,
+        "crc_ok": crc_ok & valid,
+        "pdu_bytes": pkt_bytes,
+        "mag_mean": mag_mean,
+        "num_hits": jnp.sum(hit.astype(jnp.int32)),
+    }
+
+
+def rssi_dbm_from_mag(mag_mean: float) -> int:
+    """Reference RSSI mapping (btle_rx.c:2246-2251)."""
+    mean = max(float(mag_mean), 1.0)
+    v = int(20.0 * np.log10(mean / 256.0) - 50.0)
+    return max(-127, min(20, v))

@@ -1,16 +1,20 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
 Tests must run identically with or without TPU hardware, and the sharding
-tests need multiple devices, so we pin JAX to CPU with 8 virtual devices
-before anything imports jax.
+tests need multiple devices. The environment's sitecustomize may register a
+TPU plugin and override JAX_PLATFORMS via jax.config, so we override it
+back AFTER importing jax (before any backend is initialized).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
