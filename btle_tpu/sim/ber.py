@@ -1,0 +1,173 @@
+"""Batched BER sweeps: the whole Monte-Carlo loop as one device program.
+
+The reference harness (python/test_btle_ber.py:26-80) runs 100-300 packets
+serially through TX -> ppm -> AWGN -> RX per SNR point. Here the packet
+batch is a single vmapped program: modulate, impair, and decode hundreds of
+packets at once, with the golden model's per-phase first-CRC-OK selection
+(btlelib.py:459-518) reproduced densely inside jit (no early exit — all
+phases decode, a masked argmax picks the winner).
+
+Error accounting matches the reference (test_btle_ber.py:62-72): a packet
+that decodes CRC-OK contributes zero errors; a failed packet contributes
+the mismatch count over min(len(tx), len(rx)) PDU bits, or the full packet
+length when no access address was found.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..phy.demodulator import aa_match_counts, decisions
+from ..phy.modulator import modulate_python
+from ..rx.pipeline import AA_BITS, _crc_prefix_states, _BYTE_WEIGHTS
+from ..spec import bits as B
+from ..spec import crc24 as C
+from ..spec import whitening as W
+from ..spec.constants import MAX_PDU_CRC_BITS, MAX_PDU_CRC_BYTE
+from .channel import apply_ppm, awgn, quantize_int16
+
+# The reference BER packet: max-length ADV payload (test_btle_ber.py:27)
+BER_PDU_HEX = "422506050403020119095344522f426c7565746f6f74682f4c6f772f456e657267791234567890"
+
+
+def _decode_phase_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
+    m = bits.shape[0]
+    idx = pos + AA_BITS * sps + jnp.arange(MAX_PDU_CRC_BITS, dtype=jnp.int32) * sps
+    raw = jnp.take(bits, jnp.clip(idx, 0, m - 1))
+    dew = jnp.bitwise_xor(raw.astype(jnp.int32), whiten.astype(jnp.int32))
+    pkt_bytes = jnp.dot(
+        dew.reshape(MAX_PDU_CRC_BYTE, 8).astype(jnp.float32),
+        jnp.asarray(_BYTE_WEIGHTS, jnp.float32),
+    ).astype(jnp.int32)
+    plen6 = jnp.dot(dew[8:14], jnp.asarray(_BYTE_WEIGHTS[:6]))
+    plen5 = jnp.dot(dew[8:13], jnp.asarray(_BYTE_WEIGHTS[:5]))
+    plen = jnp.where(adv_flag, plen6, plen5)
+    plen_c = jnp.clip(plen, 0, 37)
+    states = _crc_prefix_states(pkt_bytes, crc_init, table)
+    crc_state = states[plen_c + 1]
+    crc_rcv = pkt_bytes[plen_c + 2] + pkt_bytes[plen_c + 3] * 256 + pkt_bytes[plen_c + 4] * 65536
+    return plen_c, crc_state == crc_rcv, dew
+
+
+@partial(jax.jit, static_argnames=("sps",))
+def golden_rx_dense(i, q, aa_bits, whiten, crc_init, adv_flag, sps: int):
+    """Dense in-jit equivalent of btlelib.btle_rx phase selection.
+
+    Returns (found, crc_ok, payload_len, pdu_bits[336]) for the phase the
+    reference would have selected: first CRC-OK phase, else the last phase
+    with an AA hit.
+    """
+    n = i.shape[0]
+    bits = decisions(i, q, sps)
+    counts = aa_match_counts(bits, aa_bits, jnp.ones(32, jnp.int8), sps)
+    hit = counts == 32
+    num_bit = int(round(n / sps)) - 1
+    mhit = hit.shape[0]
+
+    ks = jnp.arange(num_bit, dtype=jnp.int32)
+
+    def per_phase(p):
+        lat = p + ks * sps
+        hp = jnp.where(lat < mhit, jnp.take(hit, jnp.clip(lat, 0, mhit - 1)), False)
+        found = jnp.any(hp)
+        first_k = jnp.argmax(hp)
+        pos = p + first_k * sps
+        table = jnp.asarray(C.CRC24_TABLE.astype(np.int32))
+        plen, crc_ok, dew = _decode_phase_candidate(
+            pos, bits, whiten, crc_init, adv_flag, table, sps
+        )
+        return found, found & crc_ok, plen, dew
+
+    found_p, ok_p, plen_p, dew_p = jax.vmap(per_phase)(jnp.arange(sps, dtype=jnp.int32))
+
+    any_ok = jnp.any(ok_p)
+    first_ok = jnp.argmax(ok_p)
+    any_found = jnp.any(found_p)
+    last_found = sps - 1 - jnp.argmax(found_p[::-1])
+    sel = jnp.where(any_ok, first_ok, last_found)
+    return (
+        any_found,
+        ok_p[sel],
+        plen_p[sel],
+        dew_p[sel],
+    )
+
+
+class BerHarness:
+    """Batched Monte-Carlo BER runner (config 3 of BASELINE.json)."""
+
+    def __init__(self, sps: int = 8, channel: int = 37):
+        self.sps = sps
+        self.channel = channel
+        self.aa_bits = jnp.asarray(B.hex_to_bits("d6be898e"))
+        self.whiten = jnp.asarray(W.whitening_bits(channel, MAX_PDU_CRC_BITS))
+        self.crc_init = jnp.int32(C.lfsr_init_to_table_init("555555"))
+
+        sps_ = self.sps
+
+        @partial(jax.jit, static_argnames=())
+        def run_batch(keys, phy_bits, pdu_bits, snr_db, ppm):
+            def one(key, phy, pdu):
+                i8, q8 = modulate_python(phy, sps=sps_)
+                i1, q1 = apply_ppm(i8, q8, ppm, sps_)
+                i2, q2 = awgn(key, i1, q1, snr_db)
+                i3, q3 = quantize_int16(i2, q2)
+                found, crc_ok, plen, dew = golden_rx_dense(
+                    i3, q3, self.aa_bits, self.whiten, self.crc_init,
+                    jnp.asarray(True), sps_,
+                )
+                lpdu = pdu.shape[0]
+                rx_len_bits = 16 + plen * 8
+                jj = jnp.arange(lpdu, dtype=jnp.int32)
+                mism = jnp.sum(
+                    jnp.where(jj < rx_len_bits, dew[:lpdu] != pdu, False)
+                )
+                errors = jnp.where(crc_ok, 0, jnp.where(found, mism, lpdu))
+                return errors, crc_ok
+
+            errs, oks = jax.vmap(one)(keys, phy_bits, pdu_bits)
+            return jnp.sum(errs), jnp.sum(oks.astype(jnp.int32))
+
+        self._run_batch = run_batch
+
+    def make_packets(self, num_packets: int, rng: np.random.Generator):
+        """Random max-length ADV packets a la test_btle_ber.py:48-49."""
+        base = B.hex_to_bits(BER_PDU_HEX)
+        pdus = np.tile(base, (num_packets, 1)).astype(np.int8)
+        pdus[:, 16:] = rng.integers(0, 2, (num_packets, len(base) - 16), dtype=np.int8)
+        phys = np.stack(
+            [np.asarray(_assemble(p, self.channel)) for p in pdus]
+        ).astype(np.int8)
+        return jnp.asarray(phys), jnp.asarray(pdus)
+
+    def ber_point(self, snr_db: float, ppm: float, num_packets: int, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        phys, pdus = self.make_packets(num_packets, rng)
+        keys = jax.random.split(jax.random.PRNGKey(seed), num_packets)
+        total_err, total_ok = self._run_batch(
+            keys, phys, pdus, jnp.float32(snr_db), jnp.float32(ppm)
+        )
+        nbits = num_packets * pdus.shape[1]
+        return float(total_err) / nbits, int(total_ok), nbits
+
+    def sweep(self, snr_list, ppm: float, num_packets: int, seed: int = 0):
+        return [self.ber_point(s, ppm, num_packets, seed + k) for k, s in enumerate(snr_list)]
+
+
+def _assemble(pdu_bits, channel):
+    from ..golden.model import assemble_phy_bits
+
+    return assemble_phy_bits(np.asarray(pdu_bits, dtype=np.int8), channel)
+
+
+# reference ppm -> usable max-SNR anchors (test_btle_ber.py:29-30)
+PPM_ANCHORS = np.array([0, 10, 20, 25, 30, 35, 40, 45, 50], dtype=np.float64)
+SNR_ANCHORS = np.array([11, 12, 13, 14, 15, 17, 19, 21, 26], dtype=np.float64)
+
+
+def reference_max_snr(ppm: float) -> float:
+    return float(np.interp(abs(ppm), PPM_ANCHORS, SNR_ANCHORS))
