@@ -1,0 +1,132 @@
+"""Connection-following hop state machine.
+
+A pure, virtual-clock port of receiver_controller (btle_rx.c:2403-2536):
+the 4-state FSM that, after sniffing a CONNECT_REQ on an advertising
+channel, retunes along the hop sequence hop_chan = (hop_chan + hop) % 37
+at connection-interval pacing with guard times, re-synchronising on the
+first CRC-OK packet per dwell.
+
+Control logic stays host-side Python (as the reference keeps it outside
+the DSP); time is injected so the FSM is testable and can be driven by a
+stream clock (sample counts) or the wall clock.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from ..spec.channels import channel_to_freq_hz, chm_is_full_map
+from ..spec.crc24 import crc_init_reorder
+
+GUARD_US = 7000    # btle_rx.c:2404
+GUARD_US_SKIP = 4000  # btle_rx.c:2405
+
+
+@dataclass
+class ConnectionInfo:
+    """Fields sniffed from CONNECT_REQ (receiver_status, btle_rx.c:1683-1698)."""
+
+    access_addr: int
+    crc_init: int          # display-order value as sniffed
+    hop: int
+    interval: int          # units of 1.25 ms
+    chm: bytes             # display order, 0x1F first
+
+
+@dataclass
+class HopEvent:
+    event: str             # "track_start" | "chan_change" | "track_drop"
+    state_from: int
+    state_to: int
+    channel: int
+    freq_hz: int
+    access_addr: int
+    crc_init: int
+    interval_us: int
+    hop: int
+    chm: bytes
+    time_us: int
+
+
+@dataclass
+class HopTracker:
+    """Carryable FSM state. Feed it packet events + time; it emits retune
+    decisions through the ``on_event`` callback and exposes the current
+    (channel, access_addr, crc_init_internal) receive configuration."""
+
+    on_event: Callable[[HopEvent], None] | None = None
+    state: int = 0
+    hop_chan: int = 0
+    hop: int = 0
+    interval_us: int = 0
+    target_us: int = 0
+    target_us_skip: int = 0
+    time_mark_us: int = 0
+    conn: ConnectionInfo | None = None
+    # live receive configuration
+    channel: int = 37
+    access_addr: int = 0x8E89BED6
+    crc_init_internal: int = 0xAAAAAA
+    retunes: int = 0
+    events: list = field(default_factory=list)
+
+    def _emit(self, ev: HopEvent):
+        self.events.append(ev)
+        if self.on_event:
+            self.on_event(ev)
+
+    def _retune(self, now_us: int, event: str, state_to: int):
+        self.hop_chan = (self.hop_chan + self.hop) % 37
+        self.channel = self.hop_chan
+        self.retunes += 1
+        self._emit(
+            HopEvent(
+                event, self.state, state_to, self.hop_chan,
+                channel_to_freq_hz(self.hop_chan),
+                self.conn.access_addr, self.conn.crc_init,
+                self.interval_us, self.hop, self.conn.chm, now_us,
+            )
+        )
+
+    def on_connect_req(self, conn: ConnectionInfo, now_us: int):
+        """Call when a CRC-OK CONNECT_REQ was parsed (state 0 trigger)."""
+        if self.state != 0:
+            return
+        if not chm_is_full_map(conn.chm):
+            self._emit(
+                HopEvent("track_drop", 0, 0, self.channel, 0,
+                         conn.access_addr, conn.crc_init, 0, conn.hop,
+                         conn.chm, now_us)
+            )
+            return
+        self.conn = conn
+        self.hop = conn.hop
+        self.interval_us = conn.interval * 1250
+        self.target_us = self.interval_us - GUARD_US
+        self.target_us_skip = self.interval_us - GUARD_US_SKIP
+        self._retune(now_us, "track_start", 1)
+        self.access_addr = conn.access_addr
+        self.crc_init_internal = crc_init_reorder(conn.crc_init)
+        self.state = 1
+
+    def on_crc_ok_packet(self, now_us: int):
+        """Call for every CRC-OK packet on the current data channel."""
+        if self.state == 1:
+            self.time_mark_us = now_us
+            self.state = 2
+        elif self.state == 3:
+            self.time_mark_us = now_us
+            self.state = 2
+
+    def on_tick(self, now_us: int):
+        """Call periodically (the reference calls per half-buffer)."""
+        if self.state == 2:
+            if now_us - self.time_mark_us > self.target_us:
+                self.time_mark_us = now_us
+                self._retune(now_us, "chan_change", 3)
+                self.state = 3
+        elif self.state == 3:
+            if now_us - self.time_mark_us > self.target_us_skip:
+                self.time_mark_us = now_us
+                self._retune(now_us, "chan_change", 3)
