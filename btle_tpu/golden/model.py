@@ -120,6 +120,20 @@ def gfsk_modulate_python(bits: np.ndarray, sps: int = 8):
     return cos_t[acc], sin_t[acc], y
 
 
+def gfsk_modulate_float(bits: np.ndarray, sps: int, amplitude: float = 127.0):
+    """Floating-point modulator (btlelib.gfsk_modulation, py:131-144),
+    SPS-parametric — used for synthesizing wideband test signals at
+    arbitrary oversampling where the fixed-point table sizes don't apply.
+    """
+    h = gauss_fir(sps)
+    bits = np.asarray(bits, dtype=np.float64)
+    nrz = bits * 2 - 1
+    up = np.repeat(nrz, sps)
+    y = np.convolve(up, h)
+    phase = np.cumsum(y) * 2 * np.pi * (MODULATION_INDEX / 2) / sps
+    return amplitude * np.cos(phase), amplitude * np.sin(phase)
+
+
 def gfsk_modulate_c(bits: np.ndarray, sps: int = 4):
     """Fixed-point modulator, ``c`` flavor (btle_tx.c:1022-1085).
 

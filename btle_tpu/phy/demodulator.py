@@ -28,9 +28,17 @@ import jax.numpy as jnp
 
 
 def phase_diff(i: jnp.ndarray, q: jnp.ndarray, lag: int) -> jnp.ndarray:
-    """d[n] = i[n]*q[n+lag] - i[n+lag]*q[n], int32, length N-lag."""
-    i = i.astype(jnp.int32)
-    q = q.astype(jnp.int32)
+    """d[n] = i[n]*q[n+lag] - i[n+lag]*q[n], length N-lag.
+
+    Integer inputs use exact int32 arithmetic (bit parity with the
+    reference's int math); float inputs (channelizer output) stay f32.
+    """
+    if jnp.issubdtype(i.dtype, jnp.floating):
+        i = i.astype(jnp.float32)
+        q = q.astype(jnp.float32)
+    else:
+        i = i.astype(jnp.int32)
+        q = q.astype(jnp.int32)
     return i[:-lag] * q[lag:] - i[lag:] * q[:-lag]
 
 

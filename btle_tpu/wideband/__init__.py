@@ -1,0 +1,12 @@
+from .channelizer import (  # noqa: F401
+    CENTER_FREQ_HZ,
+    D,
+    FS_MSPS,
+    M,
+    bin_to_channel,
+    channel_to_bin,
+    channelize,
+    prototype_filter,
+    synthesize_wideband,
+)
+from .sniffer import WidebandConfig, WidebandPacket, WidebandSniffer, wideband_scan  # noqa: F401

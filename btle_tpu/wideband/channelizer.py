@@ -1,0 +1,142 @@
+"""Oversampled polyphase channelizer: one wideband capture -> 40 BLE channels.
+
+This is capability the reference never had — its tools sniff one channel at
+a time and the CLI rotates 37/38/39 serially (SURVEY.md P2). All 40 BLE
+channel centres sit on the uniform grid 2402 + 2k MHz (k = 0..39, see
+btle_tpu.spec.channels), so a wideband capture at FS = 80 Msps centred at
+2442 MHz maps each channel to DFT bin m = (grid + 20) mod 40.
+
+Structure (TPU-first):
+  1. a 40-output-channel strided convolution — kernel m holds the
+     prototype-filter taps whose index is congruent to m (mod 40), stride
+     20 gives the 2x-oversampled 4 Msps per-channel rate. XLA lowers this
+     onto the MXU via implicit im2col; I/Q ride the batch dimension.
+  2. a 40-point DFT across branches as a 40x40 matrix product,
+  3. the (-1)^(m k) phase correction that the half-band decimation
+     (D = M/2) introduces.
+
+The prototype filter is a Kaiser-designed lowpass with the same role as
+the reference FPGA's AD9361 profile (pass 0.8 MHz / stop 1.1 MHz,
+fpga/helpers/ad9361_fir_smpl8M_pass0.8_stop1.1.ftr).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..spec.channels import CHANNEL_TO_GRID
+
+M = 40                 # channels / DFT size
+D = 20                 # decimation (output 2x oversampled: 4 Msps)
+FS_MSPS = 80           # wideband input rate
+CENTER_FREQ_HZ = 2_442_000_000
+TAPS_PER_BRANCH = 32   # prototype length = M * TAPS_PER_BRANCH
+
+
+def channel_to_bin(channel: int) -> int:
+    """BLE channel number -> channelizer output bin."""
+    return (int(CHANNEL_TO_GRID[channel]) + M // 2) % M
+
+
+def bin_to_channel(m: int) -> int:
+    from ..spec.channels import GRID_TO_CHANNEL
+
+    return int(GRID_TO_CHANNEL[(m - M // 2) % M])
+
+
+@lru_cache(maxsize=None)
+def prototype_filter(num_taps: int = M * TAPS_PER_BRANCH, cutoff_mhz: float = 1.0,
+                     beta: float = 10.0) -> np.ndarray:
+    """Kaiser lowpass, cutoff at the channel half-width: flat to 0.8 MHz,
+    ~-100 dB past 1.2 MHz (cf. the AD9361 pass0.8/stop1.1 profile)."""
+    from scipy import signal
+
+    h = signal.firwin(num_taps, cutoff_mhz, window=("kaiser", beta), fs=FS_MSPS)
+    return (h / h.sum()).astype(np.float64)
+
+
+@lru_cache(maxsize=None)
+def _conv_kernel(num_taps: int) -> np.ndarray:
+    """(M, 1, L) conv kernel: output channel p keeps taps tau = p (mod M).
+
+    Cross-correlation form: out_p[k] = sum_w K[p, w] * x[kD + w]; we want
+    u_p[k] = sum_{tau = p mod M} h[tau] * x[kD - tau + (L-1)] after
+    pre-padding x by L-1, i.e. K[p, w] = h[L-1-w] * [L-1-w = p mod M].
+    """
+    h = prototype_filter(num_taps)
+    L = len(h)
+    k = np.zeros((M, 1, L), dtype=np.float32)
+    w = np.arange(L)
+    tau = L - 1 - w
+    for p in range(M):
+        sel = (tau % M) == p
+        k[p, 0, sel] = h[tau[sel]]
+    return k
+
+
+@lru_cache(maxsize=None)
+def _dft_matrix():
+    p = np.arange(M)
+    m = np.arange(M)[:, None]
+    e = np.exp(1j * 2 * np.pi * m * p / M)  # E[m, p]
+    return e.real.astype(np.float32), e.imag.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("num_taps",))
+def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH):
+    """(N,) wideband I/Q at 80 Msps -> (M, K) per-channel I/Q at 4 Msps.
+
+    Output bin m covers BLE channel bin_to_channel(m). K = N // D; the
+    first L/D outputs carry filter warm-up (input is zero-padded on the
+    left so output k aligns with input sample k*D).
+    """
+    L = num_taps
+    x = jnp.stack([i.astype(jnp.float32), q.astype(jnp.float32)])  # (2, N)
+    x = jnp.pad(x, ((0, 0), (L - 1, 0)))
+    lhs = x[:, None, :]                       # (batch=2, feat=1, W)
+    rhs = jnp.asarray(_conv_kernel(num_taps))  # (M, 1, L)
+    u = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(D,), padding="VALID",
+        preferred_element_type=jnp.float32,
+    )                                         # (2, M, K)
+    u_i, u_q = u[0], u[1]
+
+    er, ei = _dft_matrix()
+    er = jnp.asarray(er)
+    ei = jnp.asarray(ei)
+    # y[m, k] = sum_p E[m, p] * u[p, k]   (complex)
+    y_i = jnp.dot(er, u_i, preferred_element_type=jnp.float32) - jnp.dot(
+        ei, u_q, preferred_element_type=jnp.float32)
+    y_q = jnp.dot(er, u_q, preferred_element_type=jnp.float32) + jnp.dot(
+        ei, u_i, preferred_element_type=jnp.float32)
+
+    # (-1)^(m k) correction from D = M/2
+    k_idx = jnp.arange(y_i.shape[1])
+    m_idx = jnp.arange(M)[:, None]
+    sign = jnp.where((m_idx * k_idx) % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+    return y_i * sign, y_q * sign
+
+
+def synthesize_wideband(channel_signals: dict[int, tuple[np.ndarray, np.ndarray]],
+                        num_samples: int, offsets: dict[int, int] | None = None,
+                        amplitude: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
+    """Test/benchmark helper: place per-channel 80 Msps baseband bursts at
+    their BLE channel offsets in one wideband stream.
+
+    channel_signals: {ble_channel: (i80, q80)} already at 80 Msps.
+    offsets: optional start sample per channel.
+    """
+    x = np.zeros(num_samples, dtype=np.complex128)
+    n = np.arange(num_samples)
+    for ch, (ci, cq) in channel_signals.items():
+        start = (offsets or {}).get(ch, 0)
+        seg = slice(start, min(start + len(ci), num_samples))
+        m = len(x[seg])
+        f_off = (2_402_000_000 + 2_000_000 * int(CHANNEL_TO_GRID[ch]) - CENTER_FREQ_HZ)
+        carrier = np.exp(1j * 2 * np.pi * (f_off / (FS_MSPS * 1e6)) * n[seg])
+        x[seg] += amplitude * (np.asarray(ci[:m]) + 1j * np.asarray(cq[:m])) * carrier
+    return x.real.astype(np.float32), x.imag.astype(np.float32)

@@ -1,0 +1,178 @@
+"""Wideband sniffer: channelize + decode all 40 BLE channels per block.
+
+The per-chip streaming configuration from BASELINE.json config 4: one
+80 Msps wideband IQ stream is split by the polyphase channelizer and all
+40 channels run the dense receive pipeline in a single jitted program
+(vmap over the channel axis); the host walks the tiny candidate lists to
+apply per-channel span-eating and PDU parsing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ll.pdu import parse_adv_header, parse_adv_payload, parse_ll_header, parse_ll_payload
+from ..rx.decoder import DecodedPacket
+from ..rx.pipeline import decode_block, required_halo
+from ..spec import bits as B
+from ..spec import crc24 as C
+from ..spec import whitening as W
+from ..spec.constants import ADV_ACCESS_ADDRESS_HEX
+from .channelizer import D, M, bin_to_channel, channel_to_bin, channelize
+
+CH_SPS = 4  # channelizer output is 4 Msps = 4 samples/symbol
+CH_LAG = 1
+
+
+@partial(jax.jit, static_argnames=("sps", "lag", "max_candidates"))
+def decode_channels(i_ch, q_ch, aa_bits, aa_mask, whiten_rows, crc_inits,
+                    adv_flags, sps: int, lag: int, max_candidates: int = 8):
+    """vmap of the dense block decoder over the channel axis."""
+
+    def one(i, q, w, c, a):
+        return decode_block(i, q, aa_bits, aa_mask, w, c, a,
+                            sps=sps, lag=lag, max_candidates=max_candidates)
+
+    return jax.vmap(one)(i_ch, q_ch, whiten_rows, crc_inits, adv_flags)
+
+
+@partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "num_taps"))
+def wideband_scan(i_wb, q_wb, aa_bits, aa_mask, whiten_rows, crc_inits,
+                  adv_flags, sps: int = CH_SPS, lag: int = CH_LAG,
+                  max_candidates: int = 8, num_taps: int = 1280):
+    """One fused program: 80 Msps block -> 40-channel candidate arrays."""
+    y_i, y_q = channelize(i_wb, q_wb, num_taps=num_taps)
+    return decode_channels(y_i, y_q, aa_bits, aa_mask, whiten_rows,
+                           crc_inits, adv_flags, sps, lag, max_candidates)
+
+
+@dataclass
+class WidebandConfig:
+    access_address_hex: str = ADV_ACCESS_ADDRESS_HEX
+    crc_init_hex: str = "555555"
+    max_candidates: int = 8
+    scan_len_ch: int = 8192          # per-channel territory (samples @4 Msps)
+    num_taps: int = 1280
+    # per-channel CRC init override for followed connections
+    data_crc_init_table: int | None = None
+    data_access_address_hex: str | None = None
+
+
+@dataclass
+class WidebandPacket:
+    channel: int
+    sample_pos: int                  # absolute per-channel sample index
+    payload_len: int
+    crc_ok: bool
+    pdu_bytes: np.ndarray
+    rssi_mag: float
+    header: object | None = None
+    payload: object | None = None
+
+
+class WidebandSniffer:
+    """Streaming 40-channel sniffer over wideband blocks."""
+
+    def __init__(self, cfg: WidebandConfig | None = None):
+        self.cfg = cfg or WidebandConfig()
+        cfg = self.cfg
+        self.aa_bits = jnp.asarray(B.hex_to_bits(cfg.access_address_hex))
+        self.aa_mask = jnp.asarray(np.ones(32, np.int8))
+        whiten_rows = np.stack(
+            [W.whitening_bits(bin_to_channel(m), 336) for m in range(M)]
+        )
+        self.whiten_rows = jnp.asarray(whiten_rows)
+        adv_flags = np.array(
+            [bin_to_channel(m) in (37, 38, 39) for m in range(M)]
+        )
+        self.adv_flags = jnp.asarray(adv_flags)
+        crc_adv = C.lfsr_init_to_table_init(cfg.crc_init_hex)
+        crc_data = cfg.data_crc_init_table if cfg.data_crc_init_table is not None else crc_adv
+        self.crc_inits = jnp.asarray(
+            np.where(adv_flags, crc_adv, crc_data).astype(np.int32)
+        )
+        self._cursors = np.zeros(M, dtype=np.int64)   # per-channel span-eating
+        self._offset_ch = 0                           # per-channel sample offset
+        self.halo_ch = required_halo(CH_SPS, CH_LAG)
+
+    @property
+    def wb_block_len(self) -> int:
+        """Wideband samples to feed per process() call."""
+        return (self.cfg.scan_len_ch + self.halo_ch) * D
+
+    def process(self, i_wb, q_wb) -> list[WidebandPacket]:
+        """Process one wideband block of wb_block_len samples. Successive
+        calls must overlap by halo_ch*D wideband samples (the stream
+        helper below handles this)."""
+        out = wideband_scan(
+            jnp.asarray(i_wb), jnp.asarray(q_wb), self.aa_bits, self.aa_mask,
+            self.whiten_rows, self.crc_inits, self.adv_flags,
+            sps=CH_SPS, lag=CH_LAG,
+            max_candidates=self.cfg.max_candidates, num_taps=self.cfg.num_taps,
+        )
+        pos = np.asarray(out["pos"])
+        valid = np.asarray(out["valid"])
+        plen = np.asarray(out["payload_len"])
+        len_ok = np.asarray(out["len_ok"])
+        crc_ok = np.asarray(out["crc_ok"])
+        pdu = np.asarray(out["pdu_bytes"])
+        mag = np.asarray(out["mag_mean"])
+
+        packets: list[WidebandPacket] = []
+        scan_limit = self.cfg.scan_len_ch
+        for m in range(M):
+            ch = bin_to_channel(m)
+            adv = ch in (37, 38, 39)
+            for k in range(pos.shape[1]):
+                if not valid[m, k]:
+                    break
+                p = int(pos[m, k])
+                abs_p = self._offset_ch + p
+                if p >= scan_limit or abs_p < self._cursors[m]:
+                    continue
+                if adv and not len_ok[m, k]:
+                    self._cursors[m] = abs_p + (32 + 16) * CH_SPS
+                    continue
+                pl = int(plen[m, k])
+                pkt = WidebandPacket(
+                    ch, abs_p, pl, bool(crc_ok[m, k]),
+                    pdu[m, k, : 2 + pl].copy(), float(mag[m, k]),
+                )
+                self._attach_parse(pkt, adv)
+                packets.append(pkt)
+                self._cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * CH_SPS
+        self._offset_ch += scan_limit
+        return packets
+
+    def _attach_parse(self, pkt: WidebandPacket, adv: bool):
+        try:
+            if adv:
+                pkt.header = parse_adv_header(pkt.pdu_bytes[:2])
+                pkt.payload = parse_adv_payload(pkt.pdu_bytes[2:], pkt.header.pdu_type)
+            else:
+                pkt.header = parse_ll_header(pkt.pdu_bytes[:2])
+                pkt.payload = parse_ll_payload(pkt.pdu_bytes[2:], pkt.header.llid)
+        except ValueError:
+            pkt.payload = None
+
+    def run(self, i_wb: np.ndarray, q_wb: np.ndarray) -> list[WidebandPacket]:
+        """Convenience: scan a whole in-memory wideband capture."""
+        step_wb = self.cfg.scan_len_ch * D
+        total = self.wb_block_len
+        packets = []
+        for s in range(0, max(1, len(i_wb)), step_wb):
+            blk_i = np.zeros(total, dtype=np.float32)
+            blk_q = np.zeros(total, dtype=np.float32)
+            seg_i = i_wb[s : s + total]
+            blk_i[: len(seg_i)] = seg_i
+            seg_q = q_wb[s : s + total]
+            blk_q[: len(seg_q)] = seg_q
+            packets.extend(self.process(blk_i, blk_q))
+            if s + total >= len(i_wb):
+                break
+        return packets
