@@ -1,0 +1,81 @@
+"""Benchmark: sustained wideband 40-channel sniffing throughput per chip.
+
+Prints one JSON line:
+  {"metric": "wideband_iq_msps_per_chip", "value": <Msamples/s>,
+   "unit": "Msps", "vs_baseline": <value / 800>}
+
+The measured program is the full per-chip receive path of BASELINE
+config 4: 80 Msps wideband IQ -> polyphase channelizer -> 40 parallel
+demod/AA-correlate/de-whiten/CRC chains -> candidate arrays. Real time is
+80 Msps; the baseline target is 10x real time (800 Msps), so
+vs_baseline >= 1.0 means the target is met.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from btle_tpu.spec import bits as B
+    from btle_tpu.spec import crc24 as C
+    from btle_tpu.spec import whitening as W
+    from btle_tpu.wideband.channelizer import bin_to_channel
+    from btle_tpu.wideband.sniffer import wideband_scan
+
+    scan_len_ch = 8192
+    halo_ch = 1473
+    n_wb = (scan_len_ch + halo_ch) * 20  # one streaming block
+
+    aa_bits = jnp.asarray(B.hex_to_bits("d6be898e"))
+    aa_mask = jnp.asarray(np.ones(32, np.int8))
+    whiten_rows = jnp.asarray(
+        np.stack([W.whitening_bits(bin_to_channel(m), 336) for m in range(40)])
+    )
+    crc_inits = jnp.asarray(
+        np.full(40, C.lfsr_init_to_table_init("555555"), np.int32)
+    )
+    adv_flags = jnp.asarray(
+        np.array([bin_to_channel(m) in (37, 38, 39) for m in range(40)])
+    )
+
+    rng = np.random.default_rng(0)
+    xi = jnp.asarray(rng.normal(0, 30, n_wb).astype(np.float32))
+    xq = jnp.asarray(rng.normal(0, 30, n_wb).astype(np.float32))
+
+    def step(i, q):
+        return wideband_scan(
+            i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+            sps=4, lag=1, max_candidates=8, num_taps=1280,
+        )
+
+    # compile + warm up
+    out = step(xi, xq)
+    jax.block_until_ready(out)
+    for _ in range(3):
+        jax.block_until_ready(step(xi, xq))
+
+    # timed: each block advances scan_len_ch*20 wideband samples of stream
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(xi, xq)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    samples_per_block = scan_len_ch * 20  # territory actually consumed
+    msps = samples_per_block * iters / dt / 1e6
+    print(json.dumps({
+        "metric": "wideband_iq_msps_per_chip",
+        "value": round(msps, 1),
+        "unit": "Msps",
+        "vs_baseline": round(msps / 800.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Multi-chip sharding of the wideband pipeline over a (ch, time) mesh.
+
+BASELINE config 5: the wideband stream is sharded by channel-group and
+time-block across a pod slice. The decomposition is TPU-native rather than
+a port of any reference concurrency (the reference is single-device):
+
+* ``time`` axis — the IQ stream is split into contiguous time blocks
+  (data parallelism over the stream). Packets crossing a block boundary
+  are handled by a halo exchange: each device receives the head of its
+  right neighbour's shard via ``lax.ppermute`` over ICI — the distributed
+  generalization of the reference's overlap-save tail copy
+  (btle_rx.c:2619-2637).
+
+* ``ch`` axis — the polyphase channelizer is branch-split (tensor
+  parallelism): each device convolves only its group of polyphase
+  branches (disjoint taps of the prototype filter) and contributes a
+  partial 40-point DFT, completed with a ``psum`` over the channel axis;
+  each device then decodes only its own channel group.
+
+Everything below is a single ``shard_map``-ped jitted program; the host
+only assembles the tiny per-(time, channel) candidate lists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..rx.pipeline import decode_block, required_halo
+from ..spec import bits as B
+from ..spec import crc24 as C
+from ..spec import whitening as W
+from ..wideband.channelizer import D, M, _conv_kernel, _dft_matrix, bin_to_channel
+
+CH_SPS = 4
+CH_LAG = 1
+
+
+def make_mesh(n_ch: int, n_time: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if len(devices) < n_ch * n_time:
+        raise ValueError(f"need {n_ch * n_time} devices, have {len(devices)}")
+    grid = devices[: n_ch * n_time].reshape(n_ch, n_time)
+    return Mesh(grid, axis_names=("ch", "time"))
+
+
+class ShardedWidebandScan:
+    """Compiled multi-device wideband scan.
+
+    Call with (i_wb, q_wb) of shape (n_time * block_wb,); returns global
+    candidate arrays of shape (n_time, M, max_candidates, ...).
+    """
+
+    def __init__(self, mesh: Mesh, block_wb: int, num_taps: int = 1280,
+                 max_candidates: int = 8,
+                 access_address_hex: str = "D6BE898E",
+                 crc_init_hex: str = "555555"):
+        self.mesh = mesh
+        self.n_ch = mesh.shape["ch"]
+        self.n_time = mesh.shape["time"]
+        if M % self.n_ch:
+            raise ValueError("channel-axis size must divide 40")
+        if block_wb % D:
+            raise ValueError("block_wb must be a multiple of the decimation")
+        self.block_wb = block_wb
+        self.num_taps = num_taps
+        self.max_candidates = max_candidates
+        self.halo_ch = required_halo(CH_SPS, CH_LAG)
+        self.halo_wb = self.halo_ch * D + num_taps
+
+        # static parameters (replicated)
+        self.aa_bits = jnp.asarray(B.hex_to_bits(access_address_hex))
+        self.aa_mask = jnp.asarray(np.ones(32, np.int8))
+        self.kernel = jnp.asarray(_conv_kernel(num_taps))       # (M, 1, L)
+        er, ei = _dft_matrix()
+        self.dft_r = jnp.asarray(er)
+        self.dft_i = jnp.asarray(ei)
+        self.whiten_rows = jnp.asarray(np.stack(
+            [W.whitening_bits(bin_to_channel(m), 336) for m in range(M)]
+        ))
+        adv = np.array([bin_to_channel(m) in (37, 38, 39) for m in range(M)])
+        self.adv_flags = jnp.asarray(adv)
+        crc = C.lfsr_init_to_table_init(crc_init_hex)
+        self.crc_inits = jnp.asarray(np.full(M, crc, np.int32))
+
+        self._fn = self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        n_ch, n_time = self.n_ch, self.n_time
+        chunk = M // n_ch
+        halo_wb = self.halo_wb
+        block_wb = self.block_wb
+        num_taps = self.num_taps
+        maxc = self.max_candidates
+        k_per_block = block_wb // D
+        aa_bits, aa_mask = self.aa_bits, self.aa_mask
+
+        def body(xi, xq, kernel, dft_r, dft_i, whiten, crc_inits, adv_flags):
+            # xi, xq: (block_wb,) local time shard (replicated over 'ch')
+            t_idx = jax.lax.axis_index("time")
+            c_idx = jax.lax.axis_index("ch")
+
+            # ---- halo exchange along time (left-shift ring) ----
+            perm = [(t, (t - 1) % n_time) for t in range(n_time)]
+            head_i = jax.lax.ppermute(xi[:halo_wb], "time", perm)
+            head_q = jax.lax.ppermute(xq[:halo_wb], "time", perm)
+            last = t_idx == (n_time - 1)
+            head_i = jnp.where(last, jnp.zeros_like(head_i), head_i)
+            head_q = jnp.where(last, jnp.zeros_like(head_q), head_q)
+            xi_h = jnp.concatenate([xi, head_i])
+            xq_h = jnp.concatenate([xq, head_q])
+
+            # ---- branch-split polyphase conv (this device's branches) ----
+            ker_grp = jax.lax.dynamic_slice(
+                kernel, (c_idx * chunk, 0, 0), (chunk, 1, num_taps)
+            )
+            x = jnp.stack([xi_h, xq_h]).astype(jnp.float32)
+            x = jnp.pad(x, ((0, 0), (num_taps - 1, 0)))[:, None, :]
+            u = jax.lax.conv_general_dilated(
+                x, ker_grp, window_strides=(D,), padding="VALID",
+                preferred_element_type=jnp.float32,
+            )  # (2, chunk, K)
+
+            # ---- partial DFT over our branch group, completed by psum ----
+            e_r = jax.lax.dynamic_slice(dft_r, (0, c_idx * chunk), (M, chunk))
+            e_i = jax.lax.dynamic_slice(dft_i, (0, c_idx * chunk), (M, chunk))
+            u_i, u_q = u[0], u[1]
+            y_i = jnp.dot(e_r, u_i, preferred_element_type=jnp.float32) - jnp.dot(
+                e_i, u_q, preferred_element_type=jnp.float32)
+            y_q = jnp.dot(e_r, u_q, preferred_element_type=jnp.float32) + jnp.dot(
+                e_i, u_i, preferred_element_type=jnp.float32)
+            y_i = jax.lax.psum(y_i, "ch")   # (M, K) full channel set
+            y_q = jax.lax.psum(y_q, "ch")
+
+            k_idx = jnp.arange(y_i.shape[1])
+            m_idx = jnp.arange(M)[:, None]
+            sign = jnp.where((m_idx * k_idx) % 2 == 0, 1.0, -1.0).astype(jnp.float32)
+            y_i = y_i * sign
+            y_q = y_q * sign
+
+            # ---- decode this device's channel group ----
+            my_i = jax.lax.dynamic_slice(y_i, (c_idx * chunk, 0), (chunk, y_i.shape[1]))
+            my_q = jax.lax.dynamic_slice(y_q, (c_idx * chunk, 0), (chunk, y_q.shape[1]))
+            w_grp = jax.lax.dynamic_slice(whiten, (c_idx * chunk, 0), (chunk, 336))
+            crc_grp = jax.lax.dynamic_slice(crc_inits, (c_idx * chunk,), (chunk,))
+            adv_grp = jax.lax.dynamic_slice(adv_flags, (c_idx * chunk,), (chunk,))
+
+            def one(i, q, w, c, a):
+                return decode_block(i, q, aa_bits, aa_mask, w, c, a,
+                                    sps=CH_SPS, lag=CH_LAG, max_candidates=maxc)
+
+            out = jax.vmap(one)(my_i, my_q, w_grp, crc_grp, adv_grp)
+            # add leading (time=1, ch=chunk) block structure for gathering
+            return {k: v[None] for k, v in out.items()}
+
+        in_specs = (
+            P("time"), P("time"),          # xi, xq sharded over time
+            P(), P(), P(), P(), P(), P(),  # parameters replicated
+        )
+        out_specs = {
+            "pos": P("time", "ch"),
+            "valid": P("time", "ch"),
+            "payload_len": P("time", "ch"),
+            "len_ok": P("time", "ch"),
+            "crc_ok": P("time", "ch"),
+            "pdu_bytes": P("time", "ch"),
+            "mag_mean": P("time", "ch"),
+            "num_hits": P("time", "ch"),
+        }
+
+        fn = jax.jit(
+            jax.shard_map(
+                body, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+        return fn
+
+    # ------------------------------------------------------------------
+    def __call__(self, i_wb, q_wb):
+        n = self.n_time * self.block_wb
+        if len(i_wb) != n:
+            raise ValueError(f"expected {n} samples, got {len(i_wb)}")
+        sh = NamedSharding(self.mesh, P("time"))
+        xi = jax.device_put(jnp.asarray(i_wb, jnp.float32), sh)
+        xq = jax.device_put(jnp.asarray(q_wb, jnp.float32), sh)
+        return self._fn(xi, xq, self.kernel, self.dft_r, self.dft_i,
+                        self.whiten_rows, self.crc_inits, self.adv_flags)
+
+    # ------------------------------------------------------------------
+    def gather_packets(self, out) -> list:
+        """Host-side assembly: global packet list with per-channel
+        span-eating across time blocks (same semantics as the
+        single-device wideband sniffer)."""
+        from ..wideband.sniffer import WidebandPacket
+
+        pos = np.asarray(out["pos"])          # (T, M, K)
+        valid = np.asarray(out["valid"])
+        plen = np.asarray(out["payload_len"])
+        len_ok = np.asarray(out["len_ok"])
+        crc_ok = np.asarray(out["crc_ok"])
+        pdu = np.asarray(out["pdu_bytes"])
+        mag = np.asarray(out["mag_mean"])
+        k_per_block = self.block_wb // D
+
+        packets = []
+        cursors = np.zeros(M, dtype=np.int64)
+        for t in range(pos.shape[0]):
+            for m in range(M):
+                ch = bin_to_channel(m)
+                adv = ch in (37, 38, 39)
+                for k in range(pos.shape[2]):
+                    if not valid[t, m, k]:
+                        break
+                    p = int(pos[t, m, k])
+                    if p >= k_per_block:
+                        continue  # halo territory: owned by the next block
+                    abs_p = t * k_per_block + p
+                    if abs_p < cursors[m]:
+                        continue
+                    if adv and not len_ok[t, m, k]:
+                        cursors[m] = abs_p + (32 + 16) * CH_SPS
+                        continue
+                    pl = int(plen[t, m, k])
+                    packets.append(WidebandPacket(
+                        ch, abs_p, pl, bool(crc_ok[t, m, k]),
+                        pdu[t, m, k, : 2 + pl].astype(np.uint8), float(mag[t, m, k]),
+                    ))
+                    cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * CH_SPS
+        return packets

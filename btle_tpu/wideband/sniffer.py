@@ -141,7 +141,7 @@ class WidebandSniffer:
                 pl = int(plen[m, k])
                 pkt = WidebandPacket(
                     ch, abs_p, pl, bool(crc_ok[m, k]),
-                    pdu[m, k, : 2 + pl].copy(), float(mag[m, k]),
+                    pdu[m, k, : 2 + pl].astype(np.uint8), float(mag[m, k]),
                 )
                 self._attach_parse(pkt, adv)
                 packets.append(pkt)

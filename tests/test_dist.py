@@ -1,0 +1,73 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(BASELINE config 5): mesh-shape invariance, equivalence with the
+single-device wideband sniffer, and boundary-straddling packets via the
+ppermute halo exchange."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from btle_tpu.dist import ShardedWidebandScan, make_mesh
+from btle_tpu.golden import model as G
+from btle_tpu.spec import bits as B
+from btle_tpu.wideband import WidebandSniffer, synthesize_wideband
+
+from test_wideband import make_channel_burst
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(7)
+    signals, expected, offsets = {}, {}, {}
+    chans = (37, 38, 0, 17, 25, 39)
+    for k, ch in enumerate(chans):
+        signals[ch], expected[ch] = make_channel_burst(rng, ch, n_payload=10 + k)
+        offsets[ch] = 5000 + 50000 * k
+    n = 320000
+    wi, wq = synthesize_wideband(signals, n, offsets)
+    return wi, wq, expected, chans
+
+
+def _key(pkts):
+    return sorted((p.channel, bytes(p.pdu_bytes).hex()) for p in pkts if p.crc_ok)
+
+
+class TestShardedScan:
+    @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8), (8, 1)])
+    def test_mesh_shapes_agree(self, scene, mesh_shape):
+        wi, wq, expected, chans = scene
+        n_ch, n_time = mesh_shape
+        mesh = make_mesh(n_ch, n_time)
+        scan = ShardedWidebandScan(mesh, block_wb=len(wi) // n_time)
+        pkts = scan.gather_packets(scan(wi, wq))
+        assert _key(pkts) == sorted(
+            (ch, bytes(expected[ch]).hex()) for ch in chans
+        )
+
+    def test_matches_single_device(self, scene):
+        wi, wq, expected, chans = scene
+        single = WidebandSniffer()
+        ref = _key(single.run(wi, wq))
+        mesh = make_mesh(2, 4)
+        scan = ShardedWidebandScan(mesh, block_wb=len(wi) // 4)
+        got = _key(scan.gather_packets(scan(wi, wq)))
+        assert got == ref
+
+    def test_boundary_straddling_packet(self):
+        """A packet whose samples cross a time-shard boundary decodes via
+        the halo exchange."""
+        rng = np.random.default_rng(3)
+        sig, exp = make_channel_burst(rng, 17, n_payload=30)
+        n_time = 4
+        block_wb = 60000
+        n = n_time * block_wb
+        # burst length at 80 Msps ~ (1+4+2+30+3)*8*80 = 25600 samples;
+        # start it 10000 samples before a shard boundary
+        start = block_wb - 10000
+        wi, wq = synthesize_wideband({17: sig}, n, {17: start})
+        mesh = make_mesh(2, n_time)
+        scan = ShardedWidebandScan(mesh, block_wb=block_wb)
+        pkts = [p for p in scan.gather_packets(scan(wi, wq)) if p.crc_ok]
+        assert len(pkts) == 1
+        np.testing.assert_array_equal(pkts[0].pdu_bytes, exp)
