@@ -1,0 +1,267 @@
+"""btle_tpu command-line interface.
+
+The tool-layer surface of the framework (the btle_rx/btle_tx/btle_cli
+equivalents), wired to IQ capture files and stdin streams:
+
+  decode    sniff one channel from an IQ file/stdin (btle_rx equivalent)
+  wideband  40-channel wideband sniff of an 80 Msps capture
+  tx        synthesize descriptor packets to an IQ file (btle_tx equivalent)
+  scan      decode + aggregate into a device table
+  analyze   summarize / plot a pcap
+  recon     quickscan | profile | diff | entropy on a pcap
+  ber       BER sweep (test_btle_ber equivalent)
+  mcp       run the MCP server (requires the `mcp` package)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_rx_args(p):
+    p.add_argument("--bin", required=True, help="IQ capture file")
+    p.add_argument("--format", default="i16", choices=["i8", "i16", "f32"],
+                   help="sample format (i8=HackRF, i16=firmware, f32=usrp)")
+    p.add_argument("--channel", type=int, default=37)
+    p.add_argument("--sps", type=int, default=4, help="samples per symbol")
+    p.add_argument("--access-addr", default=None, help="hex access address (display order)")
+    p.add_argument("--crc-init", default="555555", help="hex CRC init (display order)")
+    p.add_argument("--access-mask", default=None, help="hex care-mask for AA bits")
+    p.add_argument("--filter-adva", default=None, help="AdvA MAC filter")
+    p.add_argument("--filter-pdu", default=None, help="CSV of allowed ADV PDU types")
+    p.add_argument("--hop", action="store_true", help="follow CONNECT_REQ hops")
+    p.add_argument("--raw", action="store_true", help="raw 42-byte dumps per AA hit")
+    p.add_argument("--rssi", action="store_true", help="estimate RSSI")
+    p.add_argument("--json", action="store_true", help="NDJSON events on stdout")
+    p.add_argument("--quiet-text", action="store_true")
+    p.add_argument("--pcap", default=None, help="write packets to pcap")
+
+
+def _build_sniffer(args):
+    from ..spec.bits import mac_str_to_bytes
+    from ..stream import NdjsonEmitter, PcapWriter, Sniffer, SnifferConfig
+
+    pdu_mask = 0xFFFF
+    if args.filter_pdu:
+        pdu_mask = 0
+        for v in args.filter_pdu.split(","):
+            pdu_mask |= 1 << int(v)
+    aa = int(args.access_addr, 16) if args.access_addr else 0x8E89BED6
+    cfg = SnifferConfig(
+        channel=args.channel,
+        access_addr=aa,
+        crc_init=int(args.crc_init, 16),
+        sps=args.sps,
+        access_mask_hex=args.access_mask,
+        filter_adva=bytes(mac_str_to_bytes(args.filter_adva)) if args.filter_adva else None,
+        filter_pdu_mask=pdu_mask,
+        hop=args.hop,
+        raw=args.raw,
+        rssi=args.rssi,
+    )
+    return Sniffer(
+        cfg,
+        ndjson=NdjsonEmitter() if args.json else None,
+        pcap=PcapWriter(args.pcap) if args.pcap else None,
+        quiet_text=args.quiet_text or args.json,
+    )
+
+
+def cmd_decode(args):
+    from ..stream import iq_file_source, stdin_source
+
+    sniffer = _build_sniffer(args)
+    if args.bin == "-":
+        src = stdin_source(args.format)
+    else:
+        src = iq_file_source(args.bin, args.format)
+    events = sniffer.run(src)
+    ok = sum(1 for e in events if e.crc_ok)
+    print(f"# {len(events)} packets ({ok} CRC OK)", file=sys.stderr)
+    return 0
+
+
+def cmd_scan(args):
+    from ..stream import iq_file_source
+    from .aggregate import ScanAggregator
+    from .events import packet_event_to_model
+
+    sniffer = _build_sniffer(args)
+    events = sniffer.run(iq_file_source(args.bin, args.format))
+    agg = ScanAggregator()
+    for ev in events:
+        if ev.header is not None:
+            agg.update(packet_event_to_model(ev))
+    rows = agg.snapshot(sort="pkts")
+    print(f"{'AdvA':18} {'Name':24} {'Vendor':20} {'Pkts':>5} {'CRC%':>5} {'RSSI':>5}")
+    for r in rows:
+        rssi = str(r.last_rssi) if r.last_rssi is not None else "-"
+        print(f"{r.adv_a:18} {r.name[:24]:24} {r.vendor[:20]:20} "
+              f"{r.pkt_count:5d} {100*r.crc_ok_ratio():5.1f} {rssi:>5}")
+    return 0
+
+
+def cmd_wideband(args):
+    from ..stream.pcap import PcapWriter
+    from ..wideband import WidebandConfig, WidebandSniffer
+
+    data = np.fromfile(args.bin, dtype={"i8": np.int8, "i16": np.int16,
+                                        "f32": np.float32}[args.format])
+    i_wb = data[0::2].astype(np.float32)
+    q_wb = data[1::2].astype(np.float32)
+    sn = WidebandSniffer(WidebandConfig())
+    pkts = sn.run(i_wb, q_wb)
+    pcap = PcapWriter(args.pcap) if args.pcap else None
+    for p in pkts:
+        line = (f"ch{p.channel:02d} pos{p.sample_pos} crc{'0' if p.crc_ok else '1'} "
+                f"plen{p.payload_len} " + bytes(p.pdu_bytes).hex())
+        print(line)
+        if pcap and p.crc_ok:
+            pcap.write_packet(bytes(p.pdu_bytes), p.channel, 0x8E89BED6)
+    if pcap:
+        pcap.close()
+    ok = sum(1 for p in pkts if p.crc_ok)
+    print(f"# {len(pkts)} packets ({ok} CRC OK) across "
+          f"{len({p.channel for p in pkts})} channels", file=sys.stderr)
+    return 0
+
+
+def cmd_tx(args):
+    from ..tx import parse_descriptor_sequence, read_packet_file, synthesize
+    from ..tx.synth import plan_to_stream
+
+    if args.file:
+        specs, repeat = read_packet_file(args.file)
+    else:
+        specs, repeat = parse_descriptor_sequence(args.descriptor)
+    if args.repeat is not None:
+        repeat = args.repeat
+    packets = synthesize(specs, flavor="c", sps=4)
+    for spec, pkt in zip(specs, packets):
+        print(f"# ch{spec.channel} {spec.pkt_type} {len(pkt.i)} samples "
+              f"space {spec.space_ms}ms", file=sys.stderr)
+    if args.out:
+        i, q = plan_to_stream(packets, sps=4, num_repeat=max(1, repeat))
+        iq = np.empty(2 * len(i), dtype=np.float32)
+        if args.out_format == "i8":
+            arr = np.empty(2 * len(i), dtype=np.int8)
+            arr[0::2] = np.clip(i, -128, 127)
+            arr[1::2] = np.clip(q, -128, 127)
+            arr.tofile(args.out)
+        else:
+            iq[0::2] = i / 256.0
+            iq[1::2] = q / 256.0
+            iq.astype(np.float32).tofile(args.out)
+        print(f"# wrote {args.out} ({len(i)} IQ pairs)", file=sys.stderr)
+    return 0
+
+
+def cmd_analyze(args):
+    from .analyze import analyze_pcap, plot_capture
+
+    a = analyze_pcap(args.pcap)
+    for line in a.summary_lines():
+        print(line)
+    if args.plot:
+        ok = plot_capture(args.pcap, args.plot)
+        print(f"# plot {'written to ' + args.plot if ok else 'skipped (no matplotlib)'}",
+              file=sys.stderr)
+    return 0
+
+
+def cmd_recon(args):
+    from . import recon
+
+    if args.op == "quickscan":
+        out = recon.quickscan(args.pcap)
+    elif args.op == "profile":
+        out = recon.profile(args.pcap, args.adv_a)
+    elif args.op == "diff":
+        out = recon.diff(args.pcap, args.pcap_b)
+    elif args.op == "entropy":
+        out = recon.payload_entropy(args.pcap, args.adv_a)
+    else:
+        raise SystemExit(f"unknown recon op {args.op}")
+    print(out.model_dump_json(indent=2, exclude_none=True))
+    return 0
+
+
+def cmd_ber(args):
+    from ..sim import BerHarness, reference_max_snr
+
+    h = BerHarness()
+    anchor = reference_max_snr(args.ppm)
+    snrs = [anchor - 4, anchor - 2.5, anchor - 1, anchor]
+    results = h.sweep(snrs, args.ppm, args.packets)
+    for snr, (ber, ok, nbits) in zip(snrs, results):
+        print(json.dumps({"ppm": args.ppm, "snr_db": round(snr, 2),
+                          "ber": ber, "pkt_ok": ok, "bits": nbits}))
+    return 0
+
+
+def cmd_mcp(args):
+    from .mcp_server import main as mcp_main
+
+    return mcp_main()
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="btle_tpu", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("decode", help="sniff one channel from an IQ capture")
+    _add_rx_args(p)
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("scan", help="decode + aggregate device table")
+    _add_rx_args(p)
+    p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser("wideband", help="40-channel wideband sniff (80 Msps capture)")
+    p.add_argument("--bin", required=True)
+    p.add_argument("--format", default="f32", choices=["i8", "i16", "f32"])
+    p.add_argument("--pcap", default=None)
+    p.set_defaults(fn=cmd_wideband)
+
+    p = sub.add_parser("tx", help="synthesize packets to an IQ file")
+    p.add_argument("descriptor", nargs="*", help="packet descriptors (chan-TYPE-...)")
+    p.add_argument("--file", default=None, help="packets.txt descriptor file")
+    p.add_argument("--out", default=None, help="output IQ file")
+    p.add_argument("--out-format", default="f32", choices=["i8", "f32"])
+    p.add_argument("--repeat", type=int, default=None)
+    p.set_defaults(fn=cmd_tx)
+
+    p = sub.add_parser("analyze", help="summarize a pcap capture")
+    p.add_argument("pcap")
+    p.add_argument("--plot", default=None, help="write timeline plot PNG")
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("recon", help="recon operations on a pcap")
+    p.add_argument("op", choices=["quickscan", "profile", "diff", "entropy"])
+    p.add_argument("pcap")
+    p.add_argument("pcap_b", nargs="?", default=None)
+    p.add_argument("--adv-a", default=None)
+    p.set_defaults(fn=cmd_recon)
+
+    p = sub.add_parser("ber", help="BER sweep at a given ppm")
+    p.add_argument("--ppm", type=float, default=0.0)
+    p.add_argument("--packets", type=int, default=100)
+    p.set_defaults(fn=cmd_ber)
+
+    p = sub.add_parser("mcp", help="run the MCP recon server")
+    p.set_defaults(fn=cmd_mcp)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,97 @@
+"""MCP server exposing the recon layer as Model Context Protocol tools.
+
+Same tool surface as the reference btle-cli-mcp (docs/MCP.md of btle_cli):
+ble_quickscan / ble_profile / ble_capture_to_pcap / ble_diff_pcaps /
+ble_payload_entropy — operating on IQ capture files (this framework's
+front-end) instead of a live HackRF.
+
+Requires the optional ``mcp`` package (FastMCP); import is deferred so the
+rest of the CLI works without it.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+
+def _decode_capture(iq_file: str, fmt: str, channel: int, sps: int,
+                    adv_a_filter: Optional[str] = None, pcap_out: Optional[str] = None):
+    from ..spec.bits import mac_str_to_bytes
+    from ..stream import PcapWriter, Sniffer, SnifferConfig, iq_file_source
+    from .events import packet_event_to_model
+
+    cfg = SnifferConfig(
+        channel=channel, sps=sps, rssi=True,
+        filter_adva=bytes(mac_str_to_bytes(adv_a_filter)) if adv_a_filter else None,
+    )
+    pcap = PcapWriter(pcap_out) if pcap_out else None
+    sniffer = Sniffer(cfg, pcap=pcap, quiet_text=True)
+    events = sniffer.run(iq_file_source(iq_file, fmt))
+    if pcap:
+        pcap.close()
+    return [packet_event_to_model(e) for e in events if e.header is not None]
+
+
+def build_server():
+    from mcp.server.fastmcp import FastMCP
+
+    from . import recon
+
+    mcp = FastMCP("btle-tpu")
+
+    @mcp.tool()
+    def ble_quickscan(iq_file: str, fmt: str = "i16", channel: int = 37,
+                      sps: int = 4, top_n: int = 15) -> dict[str, Any]:
+        """Decode a capture and summarize the devices seen."""
+        events = _decode_capture(iq_file, fmt, channel, sps)
+        return recon.quickscan(events, top=top_n).model_dump(exclude_none=True)
+
+    @mcp.tool()
+    def ble_profile(adv_a: str, iq_file: str | None = None, fmt: str = "i16",
+                    channel: int = 37, sps: int = 4,
+                    pcap: str | None = None) -> dict[str, Any]:
+        """Profile one device from a capture file or pcap."""
+        if pcap:
+            return recon.profile(pcap, adv_a).model_dump(exclude_none=True)
+        events = _decode_capture(iq_file, fmt, channel, sps)
+        return recon.profile(events, adv_a).model_dump(exclude_none=True)
+
+    @mcp.tool()
+    def ble_capture_to_pcap(iq_file: str, output_path: str, fmt: str = "i16",
+                            channel: int = 37, sps: int = 4,
+                            adv_a: str | None = None) -> dict[str, Any]:
+        """Decode a capture to a Wireshark-compatible pcap (DLT 256)."""
+        Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+        events = _decode_capture(iq_file, fmt, channel, sps,
+                                 adv_a_filter=adv_a, pcap_out=output_path)
+        return {
+            "pcap": output_path,
+            "n_packets": len(events),
+            "n_crc_ok": sum(1 for e in events if e.crc_ok),
+        }
+
+    @mcp.tool()
+    def ble_diff_pcaps(pcap_a: str, pcap_b: str) -> dict[str, Any]:
+        """What changed between two pcaps."""
+        return recon.diff(pcap_a, pcap_b).model_dump(exclude_none=True)
+
+    @mcp.tool()
+    def ble_payload_entropy(pcap: str, adv_a: str) -> dict[str, Any]:
+        """Which manufacturer-data bytes vary: counter, random, static."""
+        return recon.payload_entropy(pcap, adv_a).model_dump(exclude_none=True)
+
+    return mcp
+
+
+def main() -> int:
+    try:
+        server = build_server()
+    except ImportError:
+        import sys
+
+        print("mcp package not installed; `pip install mcp` to use the server",
+              file=sys.stderr)
+        return 1
+    server.run()
+    return 0
