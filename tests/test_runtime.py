@@ -1,0 +1,114 @@
+"""Native runtime tests: ring buffer semantics, format conversion, UDP
+ingest, and an end-to-end ring -> sniffer decode."""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+runtime = pytest.importorskip("btle_tpu.runtime")
+
+if not runtime.available():
+    pytest.skip("native runtime not built (no g++)", allow_module_level=True)
+
+
+class TestRing:
+    def test_write_read_block_overlap(self):
+        ring = runtime.IqRingBuffer(1 << 12)
+        data = np.arange(2000, dtype=np.int16)
+        inter = np.empty(4000, dtype=np.int16)
+        inter[0::2] = data
+        inter[1::2] = -data
+        assert ring.write(inter, "i16") == 2000
+        assert ring.available_pairs == 2000
+
+        blk = ring.read_block(1000, 200)
+        assert blk is not None
+        i, q = blk
+        np.testing.assert_array_equal(i, data[:1200])
+        np.testing.assert_array_equal(q, -data[:1200])
+        # overlap-save: only 1000 consumed
+        assert ring.available_pairs == 1000
+        blk2 = ring.read_block(1000, 200)
+        assert blk2 is None  # needs 1200, only 1000 left
+        ti, tq = ring.drain()
+        np.testing.assert_array_equal(ti, data[1000:])
+
+    def test_overflow_counts_drops(self):
+        ring = runtime.IqRingBuffer(1024)
+        inter = np.zeros(2 * 5000, dtype=np.int16)
+        ring.write(inter, "i16")
+        assert ring.dropped > 0
+        assert ring.available_pairs <= 1024
+
+    def test_f32_scaling(self):
+        ring = runtime.IqRingBuffer(1 << 10)
+        inter = np.array([0.49609375, -0.49609375, 0.25, 0.0], dtype=np.float32)
+        ring.write(inter, "f32", scale=256.0)
+        i, q = ring.drain()
+        np.testing.assert_array_equal(i, [127, 64])
+        np.testing.assert_array_equal(q, [-127, 0])
+
+
+class TestDeinterleave:
+    @pytest.mark.parametrize("fmt,dtype", [("i8", np.int8), ("i16", np.int16)])
+    def test_int_formats(self, fmt, dtype, rng):
+        inter = rng.integers(-100, 100, 4096).astype(dtype)
+        i, q = runtime.deinterleave(inter, fmt)
+        np.testing.assert_array_equal(i, inter[0::2].astype(np.int16))
+        np.testing.assert_array_equal(q, inter[1::2].astype(np.int16))
+
+    def test_f32(self, rng):
+        inter = (rng.normal(0, 0.2, 2048)).astype(np.float32)
+        i, q = runtime.deinterleave(inter, "f32", scale=256.0)
+        np.testing.assert_array_equal(i, np.round(inter[0::2] * 256).astype(np.int16))
+
+
+class TestUdp:
+    def test_udp_ingest(self):
+        ring = runtime.IqRingBuffer(1 << 16)
+        port = 41337
+        src = runtime.UdpIngest(ring, port, "i16")
+        try:
+            payload = np.arange(512, dtype=np.int16).tobytes()
+            sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            for _ in range(4):
+                sock.sendto(payload, ("127.0.0.1", port))
+            deadline = time.time() + 3
+            while src.datagrams < 4 and time.time() < deadline:
+                time.sleep(0.01)
+            assert src.datagrams == 4
+            assert ring.available_pairs == 4 * 256  # 1024B datagram = 256 IQ pairs
+            i, q = ring.drain()
+            np.testing.assert_array_equal(i[:4], [0, 2, 4, 6])
+        finally:
+            src.stop()
+
+
+class TestEndToEnd:
+    def test_ring_to_sniffer(self, rng):
+        jax = pytest.importorskip("jax")
+        from btle_tpu.golden import model as G
+        from btle_tpu.spec import bits as B
+        from btle_tpu.stream import Sniffer, SnifferConfig
+
+        payload = rng.integers(0, 256, 15, dtype=np.uint8)
+        pdu = B.bytes_to_bits(
+            np.concatenate([[0x40, len(payload)], payload]).astype(np.uint8))
+        ci, cq, _ = G.btle_tx(pdu, 37, sps=4, flavor="c")
+        inter = np.zeros(2 * (len(ci) + 2000), dtype=np.int16)
+        inter[2000::2] = np.concatenate([ci, np.zeros(1000, np.int8)])[: len(inter[2000::2])]
+        inter[2001::2] = np.concatenate([cq, np.zeros(1000, np.int8)])[: len(inter[2001::2])]
+
+        ring = runtime.IqRingBuffer(1 << 16)
+        ring.write(inter, "i16")
+        done = {"v": False}
+        src = runtime.ring_source(ring, 4096, 1500, stop=lambda: done["v"])
+        done["v"] = True
+        sn = Sniffer(SnifferConfig(channel=37, sps=4, scan_len=4096), quiet_text=True)
+        events = sn.run(src)
+        ok = [e for e in events if e.crc_ok]
+        assert len(ok) == 1
+        np.testing.assert_array_equal(
+            np.frombuffer(ok[0].payload_bytes, np.uint8), B.bits_to_bytes(pdu)[2:])
