@@ -74,7 +74,8 @@ class ShardedWidebandScan:
         self.halo_wb = self.halo_ch * D + num_taps
 
         # static parameters (replicated)
-        self.aa_bits = jnp.asarray(B.hex_to_bits(access_address_hex))
+        aa_adv = B.hex_to_bits(access_address_hex)
+        self.aa_rows = jnp.asarray(np.tile(aa_adv, (M, 1)))
         self.aa_mask = jnp.asarray(np.ones(32, np.int8))
         self.kernel = jnp.asarray(_conv_kernel(num_taps))       # (M, 1, L)
         er, ei = _dft_matrix()
@@ -99,9 +100,9 @@ class ShardedWidebandScan:
         num_taps = self.num_taps
         maxc = self.max_candidates
         k_per_block = block_wb // D
-        aa_bits, aa_mask = self.aa_bits, self.aa_mask
+        aa_mask = self.aa_mask
 
-        def body(xi, xq, kernel, dft_r, dft_i, whiten, crc_inits, adv_flags):
+        def body(xi, xq, kernel, dft_r, dft_i, aa_rows, whiten, crc_inits, adv_flags):
             # xi, xq: (block_wb,) local time shard (replicated over 'ch')
             t_idx = jax.lax.axis_index("time")
             c_idx = jax.lax.axis_index("ch")
@@ -147,21 +148,22 @@ class ShardedWidebandScan:
             # ---- decode this device's channel group ----
             my_i = jax.lax.dynamic_slice(y_i, (c_idx * chunk, 0), (chunk, y_i.shape[1]))
             my_q = jax.lax.dynamic_slice(y_q, (c_idx * chunk, 0), (chunk, y_q.shape[1]))
+            aa_grp = jax.lax.dynamic_slice(aa_rows, (c_idx * chunk, 0), (chunk, 32))
             w_grp = jax.lax.dynamic_slice(whiten, (c_idx * chunk, 0), (chunk, 336))
             crc_grp = jax.lax.dynamic_slice(crc_inits, (c_idx * chunk,), (chunk,))
             adv_grp = jax.lax.dynamic_slice(adv_flags, (c_idx * chunk,), (chunk,))
 
-            def one(i, q, w, c, a):
-                return decode_block(i, q, aa_bits, aa_mask, w, c, a,
+            def one(i, q, aab, w, c, a):
+                return decode_block(i, q, aab, aa_mask, w, c, a,
                                     sps=CH_SPS, lag=CH_LAG, max_candidates=maxc)
 
-            out = jax.vmap(one)(my_i, my_q, w_grp, crc_grp, adv_grp)
+            out = jax.vmap(one)(my_i, my_q, aa_grp, w_grp, crc_grp, adv_grp)
             # add leading (time=1, ch=chunk) block structure for gathering
             return {k: v[None] for k, v in out.items()}
 
         in_specs = (
             P("time"), P("time"),          # xi, xq sharded over time
-            P(), P(), P(), P(), P(), P(),  # parameters replicated
+            P(), P(), P(), P(), P(), P(), P(),  # parameters replicated
         )
         out_specs = {
             "pos": P("time", "ch"),
@@ -191,7 +193,8 @@ class ShardedWidebandScan:
         xi = jax.device_put(jnp.asarray(i_wb, jnp.float32), sh)
         xq = jax.device_put(jnp.asarray(q_wb, jnp.float32), sh)
         return self._fn(xi, xq, self.kernel, self.dft_r, self.dft_i,
-                        self.whiten_rows, self.crc_inits, self.adv_flags)
+                        self.aa_rows, self.whiten_rows, self.crc_inits,
+                        self.adv_flags)
 
     # ------------------------------------------------------------------
     def gather_packets(self, out) -> list:

@@ -112,12 +112,17 @@ class Sniffer:
             raw=cfg.raw,
             rssi=cfg.rssi,
         )
+        # decode-time receive config: hop retunes apply from the NEXT
+        # block (the whole block was decoded with one channel, matching
+        # the C tool where receiver_controller runs after receiver())
+        block_channel = self.channel
+        block_aa = self.access_addr
         now_us = 0
         for pkt in res.packets:
             if pkt.sample_pos < block.skip:
                 continue
             now_us = (block.offset + pkt.sample_pos) // cfg.sps
-            self._handle_packet(pkt, now_us)
+            self._handle_packet(pkt, now_us, block_channel, block_aa)
         it.consume_to(block.offset + res.consumed)
         if self.hop_tracker:
             end_us = (block.offset + block.scan_len) // cfg.sps
@@ -125,13 +130,16 @@ class Sniffer:
             self._sync_hop_state()
 
     # ------------------------------------------------------------------
-    def _handle_packet(self, pkt, now_us: int):
+    def _handle_packet(self, pkt, now_us: int, channel: int | None = None,
+                       access_addr: int | None = None):
         cfg = self.cfg
+        channel = self.channel if channel is None else channel
+        access_addr = self.access_addr if access_addr is None else access_addr
         self.pkt_count += 1
-        adv = self.channel in (37, 38, 39)
+        adv = channel in (37, 38, 39)
 
         if cfg.raw:
-            ev = PacketEvent(now_us, self.pkt_count, self.channel, self.access_addr,
+            ev = PacketEvent(now_us, self.pkt_count, channel, access_addr,
                              False, adv, None, None, b"", pkt.rssi_dbm,
                              raw_bytes=bytes(pkt.pdu_bytes))
             self.packets.append(ev)
@@ -157,7 +165,6 @@ class Sniffer:
                                    payload.interval, payload.chm),
                     now_us,
                 )
-                self._sync_hop_state()
         else:
             header = parse_ll_header(pkt.pdu_bytes[:2])
             try:
@@ -169,28 +176,27 @@ class Sniffer:
             adv_a = None
             if pkt.crc_ok and self.hop_tracker:
                 self.hop_tracker.on_crc_ok_packet(now_us)
-                self._sync_hop_state()
 
-        ev = PacketEvent(now_us, self.pkt_count, self.channel, self.access_addr,
+        ev = PacketEvent(now_us, self.pkt_count, channel, access_addr,
                          pkt.crc_ok, adv, header, payload, payload_bytes,
                          pkt.rssi_dbm)
         self.packets.append(ev)
 
         if self.pcap:
-            self.pcap.write_packet(bytes(pkt.pdu_bytes), self.channel,
-                                   self.access_addr, pkt.rssi_dbm)
+            self.pcap.write_packet(bytes(pkt.pdu_bytes), channel,
+                                   access_addr, pkt.rssi_dbm)
         if not self.quiet_text:
             self._print_packet(ev, adv_a)
         if self.ndjson:
             ts = time.time()
             if adv:
-                self.ndjson.pkt_adv(ts, self.pkt_count, self.channel, self.access_addr,
+                self.ndjson.pkt_adv(ts, self.pkt_count, channel, access_addr,
                                     pkt.crc_ok, int(header.pdu_type),
                                     header.pdu_type.display_name,
                                     header.tx_add, header.rx_add, header.payload_len,
                                     adv_a, payload_bytes, pkt.rssi_dbm)
             else:
-                self.ndjson.pkt_data(ts, self.pkt_count, self.channel, self.access_addr,
+                self.ndjson.pkt_data(ts, self.pkt_count, channel, access_addr,
                                      pkt.crc_ok, int(header.llid),
                                      header.llid.display_name,
                                      header.nesn, header.sn, header.md,

@@ -30,24 +30,31 @@ CH_LAG = 1
 
 
 @partial(jax.jit, static_argnames=("sps", "lag", "max_candidates"))
-def decode_channels(i_ch, q_ch, aa_bits, aa_mask, whiten_rows, crc_inits,
+def decode_channels(i_ch, q_ch, aa_rows, aa_mask, whiten_rows, crc_inits,
                     adv_flags, sps: int, lag: int, max_candidates: int = 8):
-    """vmap of the dense block decoder over the channel axis."""
+    """vmap of the dense block decoder over the channel axis.
 
-    def one(i, q, w, c, a):
-        return decode_block(i, q, aa_bits, aa_mask, w, c, a,
+    aa_rows is (M, 32): each channel can search a different access address
+    (advertising channels use 0x8E89BED6; data channels of a followed
+    connection use the sniffed AA)."""
+
+    def one(i, q, aab, w, c, a):
+        return decode_block(i, q, aab, aa_mask, w, c, a,
                             sps=sps, lag=lag, max_candidates=max_candidates)
 
-    return jax.vmap(one)(i_ch, q_ch, whiten_rows, crc_inits, adv_flags)
+    return jax.vmap(one)(i_ch, q_ch, aa_rows, whiten_rows, crc_inits, adv_flags)
 
 
 @partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "num_taps"))
-def wideband_scan(i_wb, q_wb, aa_bits, aa_mask, whiten_rows, crc_inits,
+def wideband_scan(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                   adv_flags, sps: int = CH_SPS, lag: int = CH_LAG,
                   max_candidates: int = 8, num_taps: int = 1280):
-    """One fused program: 80 Msps block -> 40-channel candidate arrays."""
+    """One fused program: 80 Msps block -> 40-channel candidate arrays.
+    aa_rows: (M, 32) per-channel access-address bits (or (32,), broadcast)."""
     y_i, y_q = channelize(i_wb, q_wb, num_taps=num_taps)
-    return decode_channels(y_i, y_q, aa_bits, aa_mask, whiten_rows,
+    if aa_rows.ndim == 1:
+        aa_rows = jnp.broadcast_to(aa_rows, (M, 32))
+    return decode_channels(y_i, y_q, aa_rows, aa_mask, whiten_rows,
                            crc_inits, adv_flags, sps, lag, max_candidates)
 
 
@@ -55,6 +62,7 @@ def wideband_scan(i_wb, q_wb, aa_bits, aa_mask, whiten_rows, crc_inits,
 class WidebandConfig:
     access_address_hex: str = ADV_ACCESS_ADDRESS_HEX
     crc_init_hex: str = "555555"
+    follow_connections: bool = False  # sniff CONNECT_REQ -> listen on data channels
     max_candidates: int = 8
     scan_len_ch: int = 8192          # per-channel territory (samples @4 Msps)
     num_taps: int = 1280
@@ -81,7 +89,8 @@ class WidebandSniffer:
     def __init__(self, cfg: WidebandConfig | None = None):
         self.cfg = cfg or WidebandConfig()
         cfg = self.cfg
-        self.aa_bits = jnp.asarray(B.hex_to_bits(cfg.access_address_hex))
+        aa_adv = B.hex_to_bits(cfg.access_address_hex)
+        self.aa_rows = jnp.asarray(np.tile(aa_adv, (M, 1)))
         self.aa_mask = jnp.asarray(np.ones(32, np.int8))
         whiten_rows = np.stack(
             [W.whitening_bits(bin_to_channel(m), 336) for m in range(M)]
@@ -99,6 +108,14 @@ class WidebandSniffer:
         self._cursors = np.zeros(M, dtype=np.int64)   # per-channel span-eating
         self._offset_ch = 0                           # per-channel sample offset
         self.halo_ch = required_halo(CH_SPS, CH_LAG)
+        # connection following: hop-pattern tracker + device-array updates.
+        # Unlike the single-radio reference, the wideband sniffer hears all
+        # 37 data channels at once — tracking a connection only means
+        # swapping the AA/CRC-init rows; no retuning, no missed dwells.
+        from ..ll.hop import HopTracker
+
+        self.hop_tracker = HopTracker() if self.cfg.follow_connections else None
+        self.connection = None
 
     @property
     def wb_block_len(self) -> int:
@@ -110,7 +127,7 @@ class WidebandSniffer:
         calls must overlap by halo_ch*D wideband samples (the stream
         helper below handles this)."""
         out = wideband_scan(
-            jnp.asarray(i_wb), jnp.asarray(q_wb), self.aa_bits, self.aa_mask,
+            jnp.asarray(i_wb), jnp.asarray(q_wb), self.aa_rows, self.aa_mask,
             self.whiten_rows, self.crc_inits, self.adv_flags,
             sps=CH_SPS, lag=CH_LAG,
             max_candidates=self.cfg.max_candidates, num_taps=self.cfg.num_taps,
@@ -144,10 +161,42 @@ class WidebandSniffer:
                     pdu[m, k, : 2 + pl].astype(np.uint8), float(mag[m, k]),
                 )
                 self._attach_parse(pkt, adv)
+                self._maybe_follow(pkt, adv)
                 packets.append(pkt)
                 self._cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * CH_SPS
         self._offset_ch += scan_limit
+        if self.hop_tracker is not None:
+            self.hop_tracker.on_tick(self._offset_ch // CH_SPS)
         return packets
+
+    def _maybe_follow(self, pkt: WidebandPacket, adv: bool):
+        """CONNECT_REQ handling + hop bookkeeping (follow_connections)."""
+        if self.hop_tracker is None:
+            return
+        now_us = pkt.sample_pos // CH_SPS
+        if adv and pkt.crc_ok and pkt.header is not None \
+                and int(pkt.header.pdu_type) == 5 and pkt.payload is not None:
+            from ..ll.hop import ConnectionInfo
+
+            conn = ConnectionInfo(pkt.payload.aa, pkt.payload.crc_init,
+                                  pkt.payload.hop, pkt.payload.interval,
+                                  pkt.payload.chm)
+            self.hop_tracker.on_connect_req(conn, now_us)
+            if self.hop_tracker.state != 0:   # track accepted
+                self.connection = conn
+                aa_hex = int(conn.access_addr).to_bytes(4, "little").hex()
+                aa_bits = B.hex_to_bits(aa_hex)
+                crc_tab = C.crc_init_reorder(conn.crc_init)
+                aa_rows = np.asarray(self.aa_rows).copy()
+                crc = np.asarray(self.crc_inits).copy()
+                for m in range(M):
+                    if bin_to_channel(m) not in (37, 38, 39):
+                        aa_rows[m] = aa_bits
+                        crc[m] = crc_tab
+                self.aa_rows = jnp.asarray(aa_rows)
+                self.crc_inits = jnp.asarray(crc)
+        elif not adv and pkt.crc_ok:
+            self.hop_tracker.on_crc_ok_packet(now_us)
 
     def _attach_parse(self, pkt: WidebandPacket, adv: bool):
         try:

@@ -1,0 +1,148 @@
+"""Connection hop-following end-to-end (the reference's unique capability,
+SURVEY.md 3.4): ADV -> CONNECT_REQ -> timed data-channel hops, simulated on
+the sample clock; plus the wideband follower that listens to all data
+channels at once."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from btle_tpu.golden import model as G
+from btle_tpu.spec import bits as B
+from btle_tpu.stream import Sniffer, SnifferConfig, array_source
+from btle_tpu.wideband import WidebandConfig, WidebandSniffer, synthesize_wideband
+
+CONN_AA_HEX = "1b0a8560"          # on-air order of AA 0x60850A1B
+CONN_AA = 0x60850A1B
+CRC_INIT_HEX = "a77b22"
+
+
+def connect_req_pdu(hop=9, interval=16):
+    payload = (
+        bytes.fromhex("001830EA965F")[::-1]           # InitA
+        + bytes.fromhex("90D7EBB19299")[::-1]         # AdvA
+        + CONN_AA.to_bytes(4, "little")
+        + bytes.fromhex(CRC_INIT_HEX)
+        + bytes([0x02])
+        + (0x000F).to_bytes(2, "little")
+        + interval.to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+        + (0x07D0).to_bytes(2, "little")
+        + bytes.fromhex("1FFFFFFFFF")[::-1]
+        + bytes([hop | (5 << 5)])
+    )
+    hdr = bytes([0x05, len(payload)])
+    return B.bytes_to_bits(np.frombuffer(hdr + payload, np.uint8))
+
+
+def data_pdu(rng, n=8):
+    payload = rng.integers(0, 256, n, dtype=np.uint8)
+    return B.bytes_to_bits(
+        np.concatenate([[0x01, n], payload]).astype(np.uint8))
+
+
+def place(buf_i, buf_q, pos, ci, cq):
+    buf_i[pos : pos + len(ci)] = ci
+    buf_q[pos : pos + len(cq)] = cq
+
+
+class TestSingleChannelHopFollow:
+    def test_follow_two_hops(self, rng):
+        """Simulates what a retuning receiver sees: ch37 ADV + CONNECT_REQ,
+        then data-channel content matching the FSM's hop sequence
+        (9 -> 18 with hop=9, interval 16 * 1.25 ms)."""
+        sps = 4
+        n = 120_000
+        i = np.zeros(n, np.int16)
+        q = np.zeros(n, np.int16)
+
+        # ch37 segment
+        ci, cq, _ = G.btle_tx(connect_req_pdu(), 37, sps=sps, flavor="c")
+        place(i, q, 10_000, ci, cq)
+
+        d1 = data_pdu(rng)
+        ci, cq, _ = G.btle_tx(d1, 9, crc_init_hex=CRC_INIT_HEX,
+                              access_address_hex=CONN_AA_HEX, sps=sps, flavor="c")
+        place(i, q, 36_000, ci, cq)   # t = 9000 us, first data dwell (ch 9)
+
+        d2 = data_pdu(rng)
+        ci, cq, _ = G.btle_tx(d2, 18, crc_init_hex=CRC_INIT_HEX,
+                              access_address_hex=CONN_AA_HEX, sps=sps, flavor="c")
+        place(i, q, 96_000, ci, cq)   # t = 24000 us, after the timed hop
+
+        sn = Sniffer(SnifferConfig(channel=37, sps=sps, hop=True), quiet_text=True)
+        events = sn.run(array_source(i, q))
+        ok = [e for e in events if e.crc_ok]
+        assert len(ok) == 3
+        assert ok[0].channel == 37 and int(ok[0].header.pdu_type) == 5
+        assert ok[1].channel == 9
+        np.testing.assert_array_equal(
+            np.frombuffer(ok[1].payload_bytes, np.uint8), B.bits_to_bytes(d1)[2:])
+        assert ok[2].channel == 18
+        np.testing.assert_array_equal(
+            np.frombuffer(ok[2].payload_bytes, np.uint8), B.bits_to_bytes(d2)[2:])
+        # receiver state carries the sniffed link parameters
+        assert sn.access_addr == CONN_AA
+        t = sn.hop_tracker
+        assert t.hop == 9 and t.interval_us == 16 * 1250
+        assert [e.event for e in t.events][:2] == ["track_start", "chan_change"]
+
+    def test_partial_channel_map_drops_track(self, rng):
+        sps = 4
+        pdu_bits = connect_req_pdu()
+        # corrupt the channel map to a partial one (chm bytes inside payload)
+        pdu = B.bits_to_bytes(pdu_bits)
+        pdu[2 + 28] = 0xFE  # chm LSByte
+        pdu[1] = pdu[1]     # length unchanged
+        pdu_bits = B.bytes_to_bits(pdu)
+        ci, cq, _ = G.btle_tx(pdu_bits, 37, sps=sps, flavor="c")
+        i = np.zeros(30_000, np.int16)
+        q = np.zeros(30_000, np.int16)
+        place(i, q, 5_000, ci, cq)
+        sn = Sniffer(SnifferConfig(channel=37, sps=sps, hop=True), quiet_text=True)
+        events = sn.run(array_source(i, q))
+        assert any(e.crc_ok for e in events)
+        assert sn.channel == 37                      # no retune
+        assert sn.hop_tracker.events[-1].event == "track_drop"
+
+
+class TestWidebandFollow:
+    def test_connect_req_unlocks_data_channels(self, rng):
+        """After a CONNECT_REQ on ch37, the wideband follower hears the
+        connection on EVERY data channel simultaneously — no dwell
+        timing needed (capability beyond the reference's single radio)."""
+        d1 = data_pdu(rng, 12)
+        d2 = data_pdu(rng, 20)
+
+        cr_phy = G.assemble_phy_bits(connect_req_pdu(), 37)
+        cr80 = G.gfsk_modulate_float(cr_phy, 80)
+
+        def data80(pdu, ch):
+            phy = G.assemble_phy_bits(pdu, ch, crc_init_hex=CRC_INIT_HEX,
+                                      access_address_hex=CONN_AA_HEX)
+            return G.gfsk_modulate_float(phy, 80)
+
+        block_wb = (8192 + 1473) * 20  # one sniffer block
+        n = 2 * 8192 * 20 + 40000
+        wi = np.zeros(n, np.float32)
+        wq = np.zeros(n, np.float32)
+        s1i, s1q = synthesize_wideband({37: cr80}, n, {37: 50_000})
+        wi += s1i
+        wq += s1q
+        # data packets in the SECOND block (device arrays update between blocks)
+        pos2 = 8192 * 20 + 60_000
+        s2i, s2q = synthesize_wideband({9: data80(d1, 9), 18: data80(d2, 18)},
+                                       n, {9: pos2, 18: pos2 + 30_000})
+        wi += s2i
+        wq += s2q
+
+        sn = WidebandSniffer(WidebandConfig(follow_connections=True))
+        pkts = [p for p in sn.run(wi, wq) if p.crc_ok]
+        by_ch = {p.channel: p for p in pkts}
+        assert 37 in by_ch and int(by_ch[37].header.pdu_type) == 5
+        assert 9 in by_ch
+        np.testing.assert_array_equal(by_ch[9].pdu_bytes, B.bits_to_bytes(d1))
+        assert 18 in by_ch
+        np.testing.assert_array_equal(by_ch[18].pdu_bytes, B.bits_to_bytes(d2))
+        assert sn.connection is not None and sn.connection.access_addr == CONN_AA
