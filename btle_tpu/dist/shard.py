@@ -38,7 +38,11 @@ from ..spec import whitening as W
 from ..wideband.channelizer import D, M, _conv_kernel, _dft_matrix, bin_to_channel
 
 CH_SPS = 4
-CH_LAG = 1
+# Symbol-lag phase-difference decisions (the golden model's demod,
+# btlelib.py:395-400): after the channelizer's 1 MHz lowpass this reaches
+# the reference BER anchors (~11 dB @ 0 ppm), ~2 dB better than the C
+# tool's 1-sample lag. Measured: 60/60 packets at 11 dB vs 41/60 at lag 1.
+CH_LAG = 4
 
 
 def make_mesh(n_ch: int, n_time: int, devices=None) -> Mesh:

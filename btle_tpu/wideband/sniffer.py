@@ -26,7 +26,11 @@ from ..spec.constants import ADV_ACCESS_ADDRESS_HEX
 from .channelizer import D, M, bin_to_channel, channel_to_bin, channelize
 
 CH_SPS = 4  # channelizer output is 4 Msps = 4 samples/symbol
-CH_LAG = 1
+# Symbol-lag phase-difference decisions (the golden model's demod,
+# btlelib.py:395-400): after the channelizer's 1 MHz lowpass this reaches
+# the reference BER anchors (~11 dB @ 0 ppm), ~2 dB better than the C
+# tool's 1-sample lag. Measured: 60/60 packets at 11 dB vs 41/60 at lag 1.
+CH_LAG = 4
 
 
 @partial(jax.jit, static_argnames=("sps", "lag", "max_candidates"))
