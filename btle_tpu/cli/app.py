@@ -203,6 +203,19 @@ def cmd_ber(args):
     return 0
 
 
+def cmd_tui(args):
+    from .events import packet_event_to_model
+    from .tui import run_curses
+
+    sniffer = _build_sniffer(args)
+    from ..stream import iq_file_source
+
+    events = sniffer.run(iq_file_source(args.bin, args.format))
+    models = [packet_event_to_model(e) for e in events if e.header is not None]
+    run_curses(models, max_seconds=args.seconds)
+    return 0
+
+
 def cmd_mcp(args):
     from .mcp_server import main as mcp_main
 
@@ -252,6 +265,11 @@ def build_parser():
     p.add_argument("--ppm", type=float, default=0.0)
     p.add_argument("--packets", type=int, default=100)
     p.set_defaults(fn=cmd_ber)
+
+    p = sub.add_parser("tui", help="terminal device dashboard over a capture")
+    _add_rx_args(p)
+    p.add_argument("--seconds", type=float, default=None, help="auto-exit after N s")
+    p.set_defaults(fn=cmd_tui)
 
     p = sub.add_parser("mcp", help="run the MCP recon server")
     p.set_defaults(fn=cmd_mcp)

@@ -1,0 +1,82 @@
+"""Vector-export + FO-alignment tests.
+
+The FO test reproduces the reference's C<->Python alignment methodology
+(test_alignment_with_btle_sdr.py): the instantaneous-frequency
+trajectories of the 4x C-flavor and 8x python-flavor modulators must agree
+on the same packet despite differing oversampling and table resolution.
+"""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from btle_tpu.golden import model as G
+from btle_tpu.spec import bits as B
+from btle_tpu.utils import dump_tx_vectors, instantaneous_freq, tx_stage_vectors
+
+from test_golden import BER_PDU_HEX
+
+
+class TestStageVectors:
+    def test_tx_stages_consistent(self, tmp_path):
+        pdu = B.hex_to_bits(BER_PDU_HEX)
+        v = tx_stage_vectors(pdu, 37)
+        # CRC appends 24 bits; whitener preserves length and header
+        assert len(v.info_crc_bits) == len(v.info_bits) + 24
+        np.testing.assert_array_equal(v.phy_bits[:40], v.info_crc_bits[:40])
+        # modulator output matches the one-call golden TX
+        gi, gq, _ = G.btle_tx(pdu, 37)
+        np.testing.assert_array_equal(v.i, gi)
+        np.testing.assert_array_equal(v.q, gq)
+
+    def test_dump_files_readable(self, tmp_path):
+        pdu = B.hex_to_bits(BER_PDU_HEX)
+        files = dump_tx_vectors(pdu, str(tmp_path))
+        v = tx_stage_vectors(pdu, 37)
+        got = np.loadtxt(files["modulator_output_i_ref"], dtype=np.int64)
+        np.testing.assert_array_equal(got, v.i)
+
+    def test_vector_tool_end_to_end(self, tmp_path):
+        r = subprocess.run(
+            [sys.executable, "tools/gen_test_vectors.py", "--out", str(tmp_path),
+             "--sps", "8", "--snr", "30"],
+            capture_output=True, text=True, timeout=120, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr
+        crc_ok = np.loadtxt(tmp_path / "btle_rx_crc_ok_ref.txt", dtype=np.int64)
+        assert int(crc_ok) == 1
+        octets = (tmp_path / "btle_rx_pdu_octets_ref.txt").read_text().split()
+        assert "".join(octets) == BER_PDU_HEX
+
+
+class TestFoAlignment:
+    def test_c_vs_python_flavor_fo_curves(self):
+        """The two modulators differ in oversampling (4 vs 8) and table
+        resolution but must produce the same frequency trajectory
+        (tolerances from open_btle_baseband_chip.md:270)."""
+        pdu = B.hex_to_bits(BER_PDU_HEX)
+        i8, q8, _ = G.btle_tx(pdu, 37, sps=8, flavor="python")
+        i4, q4, _ = G.btle_tx(pdu, 37, sps=4, flavor="c")
+        fo8 = instantaneous_freq(i8, q8, 8)
+        fo4 = instantaneous_freq(i4, q4, 4)
+        # compare at symbol-rate sample points over the steady-state region
+        n_sym = min(len(fo8) // 8, len(fo4) // 4) - 8
+        s8 = fo8[8 * 4 : 8 * 4 + (n_sym - 8) * 8 : 8]
+        s4 = fo4[4 * 4 : 4 * 4 + (n_sym - 8) * 4 : 4]
+        # trajectories are aligned in time up to the differing filter delays;
+        # find the best small integer offset and require close agreement
+        best = min(
+            np.mean(np.abs(s8[: len(s4) - 8] - s4[k : k + len(s8[: len(s4) - 8])]))
+            for k in range(8)
+        )
+        assert best < 0.05, best  # cycles/symbol (peak deviation is 0.25)
+
+    def test_fo_peak_deviation(self):
+        """Peak deviation must be ~±h/2 = ±0.25 cycles/symbol."""
+        bits = np.tile([1, 1, 1, 1, 0, 0, 0, 0], 8).astype(np.int8)
+        i, q, _ = G.gfsk_modulate_python(bits, 8)
+        fo = instantaneous_freq(i, q, 8)
+        assert 0.2 < np.max(fo) < 0.3
+        assert -0.3 < np.min(fo) < -0.2
