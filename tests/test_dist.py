@@ -71,3 +71,18 @@ class TestShardedScan:
         pkts = [p for p in scan.gather_packets(scan(wi, wq)) if p.crc_ok]
         assert len(pkts) == 1
         np.testing.assert_array_equal(pkts[0].pdu_bytes, exp)
+
+
+class TestMultiHost:
+    def test_single_process_path(self, scene):
+        """MultiHostWidebandScan on the 8-device virtual mesh (process
+        count 1 exercises the same program as the pod deployment)."""
+        from btle_tpu.dist import MultiHostWidebandScan
+
+        wi, wq, expected, chans = scene
+        scan = MultiHostWidebandScan(n_ch=2, block_wb=len(wi) // 4)
+        pkts = scan.gather_packets(scan(wi, wq))
+        assert _key(pkts) == sorted(
+            (ch, bytes(expected[ch]).hex()) for ch in chans
+        )
+        assert scan.local_time_blocks == 4
