@@ -10,7 +10,7 @@ from __future__ import annotations
 import collections
 from dataclasses import dataclass, field
 
-from .pcap_loader import CaptureFile, load as load_pcap
+from .pcap_loader import load as load_pcap
 from .recon import aggregator_from_pcap, fingerprint
 
 

@@ -7,11 +7,10 @@ the stored de-whitened octets (the pcap stores header+payload, no CRC).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from pathlib import Path
 from typing import Optional
 
 from ..ll.pdu import AdvPduType
-from ..stream.pcap import PcapRecord, read_pcap
+from ..stream.pcap import read_pcap
 
 ADV_AA = 0x8E89BED6
 

@@ -23,8 +23,6 @@ only assembles the tiny per-(time, channel) candidate lists.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

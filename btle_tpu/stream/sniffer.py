@@ -15,14 +15,11 @@ from __future__ import annotations
 
 import sys
 import time
-from dataclasses import dataclass, field
-
-import numpy as np
+from dataclasses import dataclass
 
 from ..ll.hop import ConnectionInfo, HopTracker
 from ..ll.pdu import (
     AdvPduType,
-    LlPduType,
     extract_adv_a,
     parse_adv_header,
     parse_adv_payload,
@@ -31,7 +28,6 @@ from ..ll.pdu import (
 )
 from ..rx.decoder import stream_decode
 from ..spec import crc24 as C
-from ..spec.channels import channel_to_freq_hz
 from ..spec.constants import ADV_ACCESS_ADDRESS
 from .blocks import DEFAULT_SCAN_LEN, OverlapBlockIterator
 from .ndjson import NdjsonEmitter

@@ -9,7 +9,7 @@ apply per-channel span-eating and PDU parsing.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -17,13 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ll.pdu import parse_adv_header, parse_adv_payload, parse_ll_header, parse_ll_payload
-from ..rx.decoder import DecodedPacket
 from ..rx.pipeline import decode_block, required_halo
 from ..spec import bits as B
 from ..spec import crc24 as C
 from ..spec import whitening as W
 from ..spec.constants import ADV_ACCESS_ADDRESS_HEX
-from .channelizer import D, M, bin_to_channel, channel_to_bin, channelize
+from .channelizer import D, M, bin_to_channel, channelize
 
 CH_SPS = 4  # channelizer output is 4 Msps = 4 samples/symbol
 # Symbol-lag phase-difference decisions (the golden model's demod,
