@@ -1,0 +1,106 @@
+"""Remaining CLI/feature coverage: wideband subcommand end-to-end, raw
+mode, and the access-address care-mask."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from btle_tpu.golden import model as G
+from btle_tpu.rx.decoder import stream_decode
+from btle_tpu.spec import bits as B
+from btle_tpu.stream import Sniffer, SnifferConfig, array_source
+from btle_tpu.wideband import synthesize_wideband
+
+
+def _run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "btle_tpu.cli", *args],
+        capture_output=True, text=True, timeout=300,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"},
+        cwd="/root/repo",
+    )
+
+
+class TestWidebandCli:
+    def test_wideband_subcommand(self, rng, tmp_path):
+        signals = {}
+        expected = {}
+        for ch in (37, 12):
+            payload = rng.integers(0, 256, 10, dtype=np.uint8)
+            hb = 0x40 if ch in (37, 38, 39) else 0x01
+            pdu = B.bytes_to_bits(
+                np.concatenate([[hb, 10], payload]).astype(np.uint8))
+            phy = G.assemble_phy_bits(pdu, ch)
+            signals[ch] = G.gfsk_modulate_float(phy, 80)
+            expected[ch] = B.bits_to_bytes(pdu).tobytes().hex()
+        wi, wq = synthesize_wideband(signals, 120000, {37: 4000, 12: 60000})
+        inter = np.empty(2 * len(wi), np.float32)
+        inter[0::2] = wi / 256.0
+        inter[1::2] = wq / 256.0
+        path = tmp_path / "wb.bin"
+        inter.tofile(path)
+        pcap = tmp_path / "wb.pcap"
+        r = _run_cli("wideband", "--bin", str(path), "--format", "f32",
+                     "--pcap", str(pcap))
+        assert r.returncode == 0, r.stderr
+        ok_lines = [l for l in r.stdout.splitlines() if " crc0 " in l]
+        assert len(ok_lines) == 2
+        for ch, hexpdu in expected.items():
+            assert any(f"ch{ch:02d}" in l and hexpdu in l for l in ok_lines), ch
+        from btle_tpu.stream import read_pcap
+
+        assert {rec.channel for rec in read_pcap(pcap)} == {37, 12}
+
+
+class TestRawMode:
+    def test_raw_dumps_42_bytes(self, rng):
+        payload = rng.integers(0, 256, 12, dtype=np.uint8)
+        pdu = B.bytes_to_bits(
+            np.concatenate([[0x40, 12], payload]).astype(np.uint8))
+        ci, cq, _ = G.btle_tx(pdu, 37, sps=4, flavor="c")
+        i = np.concatenate([np.zeros(500, np.int16), ci, np.zeros(8000, np.int16)])
+        q = np.concatenate([np.zeros(500, np.int16), cq, np.zeros(8000, np.int16)])
+        sn = Sniffer(SnifferConfig(channel=37, sps=4, raw=True, scan_len=4096),
+                     quiet_text=True)
+        events = sn.run(array_source(i, q))
+        assert len(events) >= 1
+        assert len(events[0].raw_bytes) == 42
+        # raw bytes are the de-whitened stream after the AA: header first
+        assert events[0].raw_bytes[0] == 0x40 and events[0].raw_bytes[1] == 12
+
+
+class TestAccessMask:
+    def test_masked_bits_ignored(self, rng):
+        """A mask with don't-care bits must match AAs differing there —
+        the --access_mask capability of the reference."""
+        payload = rng.integers(0, 256, 8, dtype=np.uint8)
+        pdu = B.bytes_to_bits(
+            np.concatenate([[0x01, 8], payload]).astype(np.uint8))
+        # transmit with AA 0x60850A1B
+        ci, cq, _ = G.btle_tx(pdu, 9, crc_init_hex="a77b22",
+                              access_address_hex="1b0a8560", sps=4, flavor="c")
+        i = np.concatenate([np.zeros(300, np.int16), ci, np.zeros(7000, np.int16)])
+        q = np.concatenate([np.zeros(300, np.int16), cq, np.zeros(7000, np.int16)])
+        from btle_tpu.spec import crc24 as C
+
+        # search for a DIFFERENT AA whose mismatches are only in the low byte,
+        # with a mask that ignores the low byte
+        res = stream_decode(
+            i, q, 9, access_address=0x60850AFF,
+            crc_init_table=C.crc_init_reorder(0xA77B22),
+            aa_mask_hex="00ffffff",  # low (first on-air) byte is don't-care
+            sps=4,
+        )
+        ok = [p for p in res.packets if p.crc_ok]
+        assert len(ok) == 1
+        np.testing.assert_array_equal(ok[0].pdu_bytes, B.bits_to_bytes(pdu))
+        # without the mask, no match
+        res2 = stream_decode(
+            i, q, 9, access_address=0x60850AFF,
+            crc_init_table=C.crc_init_reorder(0xA77B22), sps=4)
+        assert res2.num_hits == 0
