@@ -24,8 +24,8 @@ import numpy as np
 
 def _add_rx_args(p):
     p.add_argument("--bin", required=True, help="IQ capture file")
-    p.add_argument("--format", default="i16", choices=["i8", "i16", "f32"],
-                   help="sample format (i8=HackRF, i16=firmware, f32=usrp)")
+    p.add_argument("--format", default="i16", choices=["i8", "i16", "f32", "csv"],
+                   help="sample format (i8=HackRF, i16=firmware, f32=usrp, csv=Vivado ILA)")
     p.add_argument("--channel", type=int, default=37)
     p.add_argument("--sps", type=int, default=4, help="samples per symbol")
     p.add_argument("--access-addr", default=None, help="hex access address (display order)")
@@ -77,9 +77,20 @@ def cmd_decode(args):
     sniffer = _build_sniffer(args)
     if args.bin == "-":
         src = stdin_source(args.format)
+    elif args.format == "csv":
+        from ..stream.sources import ila_csv_source
+
+        src = ila_csv_source(args.bin)
     else:
         src = iq_file_source(args.bin, args.format)
-    events = sniffer.run(src)
+    try:
+        events = sniffer.run(src)
+    except KeyboardInterrupt:
+        # flush outputs on ctrl-C like the reference's signal handlers
+        events = sniffer.packets
+    finally:
+        if sniffer.pcap:
+            sniffer.pcap.close()
     ok = sum(1 for e in events if e.crc_ok)
     print(f"# {len(events)} packets ({ok} CRC OK)", file=sys.stderr)
     return 0

@@ -3,3 +3,4 @@ from .ndjson import NdjsonEmitter  # noqa: F401
 from .pcap import PcapRecord, PcapWriter, read_pcap  # noqa: F401
 from .sniffer import PacketEvent, Sniffer, SnifferConfig, sniff_file  # noqa: F401
 from .sources import array_source, iq_file_source, stdin_source  # noqa: F401
+from .sources import ila_csv_source  # noqa: F401

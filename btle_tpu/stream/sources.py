@@ -70,3 +70,33 @@ def array_source(i: np.ndarray, q: np.ndarray, chunk_pairs: int = DEFAULT_CHUNK)
             np.asarray(i[s : s + chunk_pairs], dtype=np.int16),
             np.asarray(q[s : s + chunk_pairs], dtype=np.int16),
         )
+
+
+def ila_csv_source(path: str, col_i: int = 9, col_q: int = 11,
+                   skip_rows: int = 2, decimate: int = 2,
+                   chunk_pairs: int = DEFAULT_CHUNK) -> Iterator:
+    """Vivado ILA .csv capture source (the reference's FPGA debug path,
+    test_btle_rx_by_captured_iq.py:63-75): integer I/Q columns, two header
+    rows skipped, decimated 16 MHz -> 8 Msps by default."""
+    import csv as _csv
+
+    buf_i: list[int] = []
+    buf_q: list[int] = []
+    with open(path, newline="") as fh:
+        reader = _csv.reader(fh)
+        for row_idx, row in enumerate(reader):
+            if row_idx < skip_rows:
+                continue
+            k = row_idx - skip_rows
+            if k % decimate:
+                continue
+            try:
+                buf_i.append(int(row[col_i]))
+                buf_q.append(int(row[col_q]))
+            except (ValueError, IndexError):
+                continue
+            if len(buf_i) >= chunk_pairs:
+                yield (np.asarray(buf_i, np.int16), np.asarray(buf_q, np.int16))
+                buf_i, buf_q = [], []
+    if buf_i:
+        yield (np.asarray(buf_i, np.int16), np.asarray(buf_q, np.int16))

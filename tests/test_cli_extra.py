@@ -104,3 +104,29 @@ class TestAccessMask:
             i, q, 9, access_address=0x60850AFF,
             crc_init_table=C.crc_init_reorder(0xA77B22), sps=4)
         assert res2.num_hits == 0
+
+
+class TestIlaCsv:
+    def test_csv_source_decodes(self, rng, tmp_path):
+        """Synthesize an ILA-style CSV (16 Msps columns, 2 header rows) and
+        decode it through the csv source at 8 Msps."""
+        from btle_tpu.stream import Sniffer, SnifferConfig, ila_csv_source
+
+        payload = rng.integers(0, 256, 9, dtype=np.uint8)
+        pdu = B.bytes_to_bits(np.concatenate([[0x40, 9], payload]).astype(np.uint8))
+        # 8 Msps golden waveform, duplicated to 16 Msps rows
+        i8, q8, _ = G.btle_tx(pdu, 37, sps=8)
+        i16 = np.repeat(np.concatenate([np.zeros(300, np.int16), i8]), 2)
+        q16 = np.repeat(np.concatenate([np.zeros(300, np.int16), q8]), 2)
+        path = tmp_path / "ila.csv"
+        with open(path, "w") as fh:
+            fh.write("Sample,h1,h2,h3,h4,h5,h6,h7,h8,I,h10,Q\n")
+            fh.write("units,,,,,,,,,int,,int\n")
+            for a, b in zip(i16, q16):
+                fh.write(f"0,0,0,0,0,0,0,0,0,{a},0,{b}\n")
+        sn = Sniffer(SnifferConfig(channel=37, sps=8, scan_len=4096), quiet_text=True)
+        events = sn.run(ila_csv_source(path))
+        ok = [e for e in events if e.crc_ok]
+        assert len(ok) == 1
+        np.testing.assert_array_equal(
+            np.frombuffer(ok[0].payload_bytes, np.uint8), payload)
