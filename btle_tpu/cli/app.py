@@ -76,6 +76,8 @@ def cmd_decode(args):
 
     sniffer = _build_sniffer(args)
     if args.bin == "-":
+        if args.format == "csv":
+            raise SystemExit("decode: --format csv cannot read from stdin")
         src = stdin_source(args.format)
     elif args.format == "csv":
         from ..stream.sources import ila_csv_source
@@ -157,16 +159,16 @@ def cmd_tx(args):
               f"space {spec.space_ms}ms", file=sys.stderr)
     if args.out:
         i, q = plan_to_stream(packets, sps=4, num_repeat=max(1, repeat))
-        iq = np.empty(2 * len(i), dtype=np.float32)
         if args.out_format == "i8":
             arr = np.empty(2 * len(i), dtype=np.int8)
             arr[0::2] = np.clip(i, -128, 127)
             arr[1::2] = np.clip(q, -128, 127)
             arr.tofile(args.out)
         else:
+            iq = np.empty(2 * len(i), dtype=np.float32)
             iq[0::2] = i / 256.0
             iq[1::2] = q / 256.0
-            iq.astype(np.float32).tofile(args.out)
+            iq.tofile(args.out)
         print(f"# wrote {args.out} ({len(i)} IQ pairs)", file=sys.stderr)
     return 0
 

@@ -59,7 +59,7 @@ class ShardedWidebandScan:
     """
 
     def __init__(self, mesh: Mesh, block_wb: int, num_taps: int = 1280,
-                 max_candidates: int = 8,
+                 max_candidates: int = 16,
                  access_address_hex: str = "D6BE898E",
                  crc_init_hex: str = "555555"):
         self.mesh = mesh
@@ -109,22 +109,34 @@ class ShardedWidebandScan:
             t_idx = jax.lax.axis_index("time")
             c_idx = jax.lax.axis_index("ch")
 
-            # ---- halo exchange along time (left-shift ring) ----
+            # ---- halo exchange along time ----
+            # right halo: head of the right neighbour's shard (packets
+            # crossing our right boundary); left context: tail of the left
+            # neighbour's shard (real filter history so our first outputs
+            # carry no warm-up garbage — packets starting at our left
+            # boundary would otherwise be lost on both shards)
             perm = [(t, (t - 1) % n_time) for t in range(n_time)]
             head_i = jax.lax.ppermute(xi[:halo_wb], "time", perm)
             head_q = jax.lax.ppermute(xq[:halo_wb], "time", perm)
             last = t_idx == (n_time - 1)
             head_i = jnp.where(last, jnp.zeros_like(head_i), head_i)
             head_q = jnp.where(last, jnp.zeros_like(head_q), head_q)
-            xi_h = jnp.concatenate([xi, head_i])
-            xq_h = jnp.concatenate([xq, head_q])
+            perm_r = [(t, (t + 1) % n_time) for t in range(n_time)]
+            ctx_i = jax.lax.ppermute(xi[-(num_taps - 1):], "time", perm_r)
+            ctx_q = jax.lax.ppermute(xq[-(num_taps - 1):], "time", perm_r)
+            first = t_idx == 0
+            ctx_i = jnp.where(first, jnp.zeros_like(ctx_i), ctx_i)
+            ctx_q = jnp.where(first, jnp.zeros_like(ctx_q), ctx_q)
+            xi_h = jnp.concatenate([ctx_i, xi, head_i])
+            xq_h = jnp.concatenate([ctx_q, xq, head_q])
 
             # ---- branch-split polyphase conv (this device's branches) ----
             ker_grp = jax.lax.dynamic_slice(
                 kernel, (c_idx * chunk, 0, 0), (chunk, 1, num_taps)
             )
-            x = jnp.stack([xi_h, xq_h]).astype(jnp.float32)
-            x = jnp.pad(x, ((0, 0), (num_taps - 1, 0)))[:, None, :]
+            # the left context supplies the num_taps-1 history samples the
+            # zero-pad used to fake; output k aligns with xi[k*D] as before
+            x = jnp.stack([xi_h, xq_h]).astype(jnp.float32)[:, None, :]
             u = jax.lax.conv_general_dilated(
                 x, ker_grp, window_strides=(D,), padding="VALID",
                 preferred_element_type=jnp.float32,

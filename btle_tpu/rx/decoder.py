@@ -176,6 +176,7 @@ def stream_decode(
     scan_limit: int | None = None,
     raw: bool = False,
     rssi: bool = False,
+    start: int = 0,
 ) -> BlockDecodeResult:
     """C-receiver-equivalent scan of one IQ block (btle_rx.c:2188-2391).
 
@@ -187,6 +188,10 @@ def stream_decode(
     ``scan_limit``: only hits starting before this lattice index are
     reported (the block's own territory); later samples are halo for
     packets that start inside the territory.
+
+    ``start``: lattice positions before this were consumed by the previous
+    block's packets (the reference resumes its search exactly at the
+    consumed boundary); hits before it neither emit nor eat samples.
     """
     import jax.numpy as jnp
 
@@ -217,7 +222,7 @@ def stream_decode(
     limit = scan_limit if scan_limit is not None else len(hit)
 
     res = BlockDecodeResult(num_hits=int(len(hit_positions)))
-    cursor = 0
+    cursor = start
     for pos in hit_positions:
         pos = int(pos)
         if pos < cursor:

@@ -68,7 +68,10 @@ def _crc_prefix_states(pkt_bytes: jnp.ndarray, init: jnp.ndarray, table: jnp.nda
 def _decode_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
     """Decode one candidate AA hit at lattice position ``pos``.
 
-    Returns (plen, crc_ok, pdu_bytes[42], len_ok).
+    Returns (plen, crc_match, pdu_bytes[42], len_ok, dew_bits[336]).
+    ``crc_match`` is the raw CRC comparison at the clamped length; callers
+    combine it with len_ok/validity as their semantics require (the C tool
+    gates on ADV length, the golden model does not).
     """
     m = bits.shape[0]
     idx = pos + AA_BITS * sps + jnp.arange(MAX_PDU_CRC_BITS, dtype=jnp.int32) * sps
@@ -94,8 +97,8 @@ def _decode_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
         + pkt_bytes[plen_c + 3] * 256
         + pkt_bytes[plen_c + 4] * 65536
     )
-    crc_ok = (crc_state == crc_rcv) & len_ok
-    return plen, crc_ok, pkt_bytes, len_ok
+    crc_match = crc_state == crc_rcv
+    return plen, crc_match, pkt_bytes, len_ok, dew
 
 
 @partial(jax.jit, static_argnames=("sps", "lag", "max_candidates"))
@@ -130,9 +133,10 @@ def decode_block(
     pos = jnp.where(valid, top, 0)
 
     table = jnp.asarray(CRC24_TABLE.astype(np.int32))
-    plen, crc_ok, pkt_bytes, len_ok = jax.vmap(
+    plen, crc_match, pkt_bytes, len_ok, _ = jax.vmap(
         lambda p: _decode_candidate(p, bits, whiten, crc_init, adv_flag, table, sps)
     )(pos)
+    crc_ok = crc_match & len_ok
 
     # RSSI statistic: mean(|I|+|Q|) over the 32-symbol AA window
     # (btle_rx.c:2234-2252). Converted to dBm-ish on the host.

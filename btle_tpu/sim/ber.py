@@ -23,34 +23,15 @@ import numpy as np
 
 from ..phy.demodulator import aa_match_counts, decisions
 from ..phy.modulator import modulate_python
-from ..rx.pipeline import AA_BITS, _crc_prefix_states, _BYTE_WEIGHTS
+from ..rx.pipeline import _decode_candidate
 from ..spec import bits as B
 from ..spec import crc24 as C
 from ..spec import whitening as W
-from ..spec.constants import MAX_PDU_CRC_BITS, MAX_PDU_CRC_BYTE
+from ..spec.constants import MAX_PDU_CRC_BITS
 from .channel import apply_ppm, awgn, quantize_int16
 
 # The reference BER packet: max-length ADV payload (test_btle_ber.py:27)
 BER_PDU_HEX = "422506050403020119095344522f426c7565746f6f74682f4c6f772f456e657267791234567890"
-
-
-def _decode_phase_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
-    m = bits.shape[0]
-    idx = pos + AA_BITS * sps + jnp.arange(MAX_PDU_CRC_BITS, dtype=jnp.int32) * sps
-    raw = jnp.take(bits, jnp.clip(idx, 0, m - 1))
-    dew = jnp.bitwise_xor(raw.astype(jnp.int32), whiten.astype(jnp.int32))
-    pkt_bytes = jnp.dot(
-        dew.reshape(MAX_PDU_CRC_BYTE, 8).astype(jnp.float32),
-        jnp.asarray(_BYTE_WEIGHTS, jnp.float32),
-    ).astype(jnp.int32)
-    plen6 = jnp.dot(dew[8:14], jnp.asarray(_BYTE_WEIGHTS[:6]))
-    plen5 = jnp.dot(dew[8:13], jnp.asarray(_BYTE_WEIGHTS[:5]))
-    plen = jnp.where(adv_flag, plen6, plen5)
-    plen_c = jnp.clip(plen, 0, 37)
-    states = _crc_prefix_states(pkt_bytes, crc_init, table)
-    crc_state = states[plen_c + 1]
-    crc_rcv = pkt_bytes[plen_c + 2] + pkt_bytes[plen_c + 3] * 256 + pkt_bytes[plen_c + 4] * 65536
-    return plen_c, crc_state == crc_rcv, dew
 
 
 @partial(jax.jit, static_argnames=("sps",))
@@ -77,10 +58,12 @@ def golden_rx_dense(i, q, aa_bits, whiten, crc_init, adv_flag, sps: int):
         first_k = jnp.argmax(hp)
         pos = p + first_k * sps
         table = jnp.asarray(C.CRC24_TABLE.astype(np.int32))
-        plen, crc_ok, dew = _decode_phase_candidate(
+        # golden model semantics: CRC at the clamped length, NO ADV
+        # length gating (btlelib.py:477-497) — so len_ok is ignored here
+        plen, crc_match, _, _, dew = _decode_candidate(
             pos, bits, whiten, crc_init, adv_flag, table, sps
         )
-        return found, found & crc_ok, plen, dew
+        return found, found & crc_match, jnp.clip(plen, 0, 37), dew
 
     found_p, ok_p, plen_p, dew_p = jax.vmap(per_phase)(jnp.arange(sps, dtype=jnp.int32))
 

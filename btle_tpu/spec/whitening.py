@@ -14,13 +14,20 @@ table.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from .constants import MAX_PDU_CRC_BITS, NUM_CHANNELS
 
 
+@lru_cache(maxsize=512)
 def whitening_bits(channel: int, num_bits: int) -> np.ndarray:
-    """The raw whitening bit sequence for ``channel`` (int8 of 0/1)."""
+    """The raw whitening bit sequence for ``channel`` (int8 of 0/1).
+
+    Cached (the sequence is channel-constant and regenerating the LFSR per
+    streaming block costs ~0.5 ms); treat the returned array as read-only.
+    """
     s = np.empty(7, dtype=np.int8)
     s[0] = 1
     for k in range(6):

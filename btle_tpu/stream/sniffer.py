@@ -107,6 +107,7 @@ class Sniffer:
             scan_limit=block.scan_len,
             raw=cfg.raw,
             rssi=cfg.rssi,
+            start=block.skip,
         )
         # decode-time receive config: hop retunes apply from the NEXT
         # block (the whole block was decoded with one channel, matching
@@ -115,8 +116,6 @@ class Sniffer:
         block_aa = self.access_addr
         now_us = 0
         for pkt in res.packets:
-            if pkt.sample_pos < block.skip:
-                continue
             now_us = (block.offset + pkt.sample_pos) // cfg.sps
             self._handle_packet(pkt, now_us, block_channel, block_aa)
         it.consume_to(block.offset + res.consumed)
@@ -146,23 +145,31 @@ class Sniffer:
         payload_bytes = bytes(pkt.pdu_bytes[2:])
         if adv:
             header = parse_adv_header(pkt.pdu_bytes[:2])
-            if (cfg.filter_pdu_mask >> int(header.pdu_type)) & 1 == 0:
-                return
             try:
                 payload = parse_adv_payload(payload_bytes, header.pdu_type)
             except ValueError:
-                return
-            adv_a = extract_adv_a(payload, header.pdu_type)
-            if cfg.filter_adva is not None and adv_a is not None and adv_a != cfg.filter_adva:
-                return
-            if pkt.crc_ok and header.pdu_type == AdvPduType.CONNECT_REQ and self.hop_tracker:
+                payload = None
+            # hop bookkeeping happens BEFORE output filters, like the
+            # reference fills receiver_status during parsing regardless of
+            # what gets printed (btle_rx.c:1683-1698, 2304-2356)
+            if (pkt.crc_ok and payload is not None and self.hop_tracker
+                    and header.pdu_type == AdvPduType.CONNECT_REQ):
                 self.hop_tracker.on_connect_req(
                     ConnectionInfo(payload.aa, payload.crc_init, payload.hop,
                                    payload.interval, payload.chm),
                     now_us,
                 )
+            if (cfg.filter_pdu_mask >> int(header.pdu_type)) & 1 == 0:
+                return
+            if payload is None:
+                return
+            adv_a = extract_adv_a(payload, header.pdu_type)
+            if cfg.filter_adva is not None and adv_a is not None and adv_a != cfg.filter_adva:
+                return
         else:
             header = parse_ll_header(pkt.pdu_bytes[:2])
+            if pkt.crc_ok and self.hop_tracker:
+                self.hop_tracker.on_crc_ok_packet(now_us)
             try:
                 payload = parse_ll_payload(payload_bytes, header.llid)
             except ValueError:
@@ -170,8 +177,6 @@ class Sniffer:
             if cfg.filter_adva is not None:
                 return  # data PDUs carry no AdvA (btle_rx.c:2353-2356)
             adv_a = None
-            if pkt.crc_ok and self.hop_tracker:
-                self.hop_tracker.on_crc_ok_packet(now_us)
 
         ev = PacketEvent(now_us, self.pkt_count, channel, access_addr,
                          pkt.crc_ok, adv, header, payload, payload_bytes,

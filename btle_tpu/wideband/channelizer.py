@@ -86,17 +86,24 @@ def _dft_matrix():
     return e.real.astype(np.float32), e.imag.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("num_taps",))
-def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH):
+@partial(jax.jit, static_argnames=("num_taps", "has_context"))
+def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = False):
     """(N,) wideband I/Q at 80 Msps -> (M, K) per-channel I/Q at 4 Msps.
 
-    Output bin m covers BLE channel bin_to_channel(m). K = N // D; the
-    first L/D outputs carry filter warm-up (input is zero-padded on the
-    left so output k aligns with input sample k*D).
+    Output bin m covers BLE channel bin_to_channel(m).
+
+    has_context=False: input is zero-padded on the left; K = N // D and
+    the first ~L/D outputs carry filter warm-up.
+    has_context=True: the FIRST num_taps-1 input samples are real history
+    from the preceding stream (no warm-up garbage — required by the
+    streaming sniffer so packets starting right at a block boundary
+    demodulate cleanly); K = (N - (num_taps-1)) // D and output k aligns
+    with input sample (num_taps-1) + k*D.
     """
     L = num_taps
     x = jnp.stack([i.astype(jnp.float32), q.astype(jnp.float32)])  # (2, N)
-    x = jnp.pad(x, ((0, 0), (L - 1, 0)))
+    if not has_context:
+        x = jnp.pad(x, ((0, 0), (L - 1, 0)))
     lhs = x[:, None, :]                       # (batch=2, feat=1, W)
     rhs = jnp.asarray(_conv_kernel(num_taps))  # (M, 1, L)
     u = jax.lax.conv_general_dilated(

@@ -48,13 +48,15 @@ def decode_channels(i_ch, q_ch, aa_rows, aa_mask, whiten_rows, crc_inits,
     return jax.vmap(one)(i_ch, q_ch, aa_rows, whiten_rows, crc_inits, adv_flags)
 
 
-@partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "num_taps"))
+@partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "num_taps",
+                                   "has_context"))
 def wideband_scan(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                   adv_flags, sps: int = CH_SPS, lag: int = CH_LAG,
-                  max_candidates: int = 8, num_taps: int = 1280):
+                  max_candidates: int = 8, num_taps: int = 1280,
+                  has_context: bool = False):
     """One fused program: 80 Msps block -> 40-channel candidate arrays.
     aa_rows: (M, 32) per-channel access-address bits (or (32,), broadcast)."""
-    y_i, y_q = channelize(i_wb, q_wb, num_taps=num_taps)
+    y_i, y_q = channelize(i_wb, q_wb, num_taps=num_taps, has_context=has_context)
     if aa_rows.ndim == 1:
         aa_rows = jnp.broadcast_to(aa_rows, (M, 32))
     return decode_channels(y_i, y_q, aa_rows, aa_mask, whiten_rows,
@@ -66,7 +68,7 @@ class WidebandConfig:
     access_address_hex: str = ADV_ACCESS_ADDRESS_HEX
     crc_init_hex: str = "555555"
     follow_connections: bool = False  # sniff CONNECT_REQ -> listen on data channels
-    max_candidates: int = 8
+    max_candidates: int = 16
     scan_len_ch: int = 8192          # per-channel territory (samples @4 Msps)
     num_taps: int = 1280
     # per-channel CRC init override for followed connections
@@ -111,6 +113,12 @@ class WidebandSniffer:
         self._cursors = np.zeros(M, dtype=np.int64)   # per-channel span-eating
         self._offset_ch = 0                           # per-channel sample offset
         self.halo_ch = required_halo(CH_SPS, CH_LAG)
+        # left context: real history samples fed to the channelizer so
+        # packets starting right at a block boundary see no filter warm-up
+        self._ctx_len = self.cfg.num_taps - 1
+        self._ctx_i = np.zeros(self._ctx_len, np.float32)
+        self._ctx_q = np.zeros(self._ctx_len, np.float32)
+        self.truncated_channels = 0   # candidate-capacity overflows seen
         # connection following: hop-pattern tracker + device-array updates.
         # Unlike the single-radio reference, the wideband sniffer hears all
         # 37 data channels at once — tracking a connection only means
@@ -128,12 +136,26 @@ class WidebandSniffer:
     def process(self, i_wb, q_wb) -> list[WidebandPacket]:
         """Process one wideband block of wb_block_len samples. Successive
         calls must overlap by halo_ch*D wideband samples (the stream
-        helper below handles this)."""
+        helper below handles this); filter history is carried internally."""
+        i_wb = np.asarray(i_wb, np.float32)
+        q_wb = np.asarray(q_wb, np.float32)
+        xi = np.concatenate([self._ctx_i, i_wb])
+        xq = np.concatenate([self._ctx_q, q_wb])
+        # next block starts right after this block's territory
+        step = self.cfg.scan_len_ch * D
+        tail = np.zeros(self._ctx_len, np.float32)
+        avail = min(self._ctx_len, step)
+        tail[-avail:] = i_wb[step - avail : step]
+        self._ctx_i = tail
+        tail = np.zeros(self._ctx_len, np.float32)
+        tail[-avail:] = q_wb[step - avail : step]
+        self._ctx_q = tail
         out = wideband_scan(
-            jnp.asarray(i_wb), jnp.asarray(q_wb), self.aa_rows, self.aa_mask,
+            jnp.asarray(xi), jnp.asarray(xq), self.aa_rows, self.aa_mask,
             self.whiten_rows, self.crc_inits, self.adv_flags,
             sps=CH_SPS, lag=CH_LAG,
             max_candidates=self.cfg.max_candidates, num_taps=self.cfg.num_taps,
+            has_context=True,
         )
         pos = np.asarray(out["pos"])
         valid = np.asarray(out["valid"])
@@ -148,6 +170,10 @@ class WidebandSniffer:
         for m in range(M):
             ch = bin_to_channel(m)
             adv = ch in (37, 38, 39)
+            if bool(valid[m].all()) and int(out["num_hits"][m]) > pos.shape[1]:
+                # more AA hits than candidate slots this block: later hits
+                # in this channel are not decoded (raise max_candidates)
+                self.truncated_channels += 1
             for k in range(pos.shape[1]):
                 if not valid[m, k]:
                     break

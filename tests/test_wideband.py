@@ -123,3 +123,28 @@ class TestWidebandSniffer:
         p = pkts[0]
         assert p.header.pdu_type == 0
         assert p.payload.adv_a == bytes.fromhex("010203040506")
+
+
+class TestBlockBoundary:
+    @pytest.mark.parametrize("rel", [-34, -20, -10, -2, 2, 30])
+    def test_aa_at_block_boundary_decodes(self, rng, rel):
+        """Packets whose access address lands right at (either side of) a
+        streaming block boundary must decode: block t defers the hit to
+        block t+1, whose channelizer now starts from carried filter
+        history instead of zero-padding (regression for the warm-up-loss
+        bug found in review)."""
+        scan_len = 2048
+        sig, exp = make_channel_burst(rng, 17, n_payload=12)
+        # place the AA start at channel sample scan_len + rel
+        # (AA begins after 8 preamble symbols = 8 ch-samples*4? preamble is
+        # 8 bits = 32 ch-samples at 4 Msps; wideband start accounts for it)
+        aa_ch_pos = scan_len + rel
+        start_wb = (aa_ch_pos - 32) * 20
+        n = 3 * scan_len * 20
+        wi, wq = synthesize_wideband({17: sig}, n, {17: start_wb})
+        from btle_tpu.wideband import WidebandConfig
+
+        sn = WidebandSniffer(WidebandConfig(scan_len_ch=scan_len))
+        pkts = [p for p in sn.run(wi, wq) if p.crc_ok and p.channel == 17]
+        assert len(pkts) == 1, f"boundary rel={rel}"
+        np.testing.assert_array_equal(pkts[0].pdu_bytes, exp)
