@@ -157,6 +157,27 @@ def cmd_tx(args):
     for spec, pkt in zip(specs, packets):
         print(f"# ch{spec.channel} {spec.pkt_type} {len(pkt.i)} samples "
               f"space {spec.space_ms}ms", file=sys.stderr)
+    if args.dump_dir:
+        # per-stage trace files like the reference tool writes on every
+        # parse (info_bit/phy_bit/phy_sample/IQ_sample_for_matlab,
+        # btle_tx.c:4094-4100) — for the last packet of the plan
+        import os
+
+        os.makedirs(args.dump_dir, exist_ok=True)
+        spec, pkt = specs[-1], packets[-1]
+        phy = spec.phy_bits()
+        np.savetxt(os.path.join(args.dump_dir, "info_bit.txt"),
+                   spec.info_bits if spec.raw_phy_bits is None else phy, fmt="%d")
+        np.savetxt(os.path.join(args.dump_dir, "phy_bit.txt"), phy, fmt="%d")
+        inter = np.empty(2 * len(pkt.i), np.int16)
+        inter[0::2] = pkt.i
+        inter[1::2] = pkt.q
+        np.savetxt(os.path.join(args.dump_dir, "phy_sample.txt"), inter, fmt="%d")
+        with open(os.path.join(args.dump_dir, "IQ_sample_for_matlab.txt"), "w") as fh:
+            vals = [str(int(v)) for v in inter]
+            for s in range(0, len(vals), 24):
+                fh.write(" ".join(vals[s:s + 24]) + " ...\n")
+        print(f"# trace files in {args.dump_dir}", file=sys.stderr)
     if args.out:
         i, q = plan_to_stream(packets, sps=4, num_repeat=max(1, repeat))
         if args.out_format == "i8":
@@ -260,6 +281,8 @@ def build_parser():
     p.add_argument("--out", default=None, help="output IQ file")
     p.add_argument("--out-format", default="f32", choices=["i8", "f32"])
     p.add_argument("--repeat", type=int, default=None)
+    p.add_argument("--dump-dir", default=None,
+                   help="write reference-style per-stage trace files")
     p.set_defaults(fn=cmd_tx)
 
     p = sub.add_parser("analyze", help="summarize a pcap capture")
