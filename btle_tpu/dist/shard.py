@@ -92,6 +92,12 @@ class ShardedWidebandScan:
         self.crc_inits = jnp.asarray(np.full(M, crc, np.int32))
 
         self._fn = self._build()
+        # optional connection following (BASELINE config 5: hop-pattern
+        # tracking across shards): a CONNECT_REQ seen in gather_packets
+        # re-keys the data-channel AA/CRC rows for subsequent steps
+        self.follow_connections = False
+        self.hop_tracker = None
+        self.connection = None
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -211,6 +217,46 @@ class ShardedWidebandScan:
                         self.adv_flags)
 
     # ------------------------------------------------------------------
+    def enable_connection_following(self):
+        from ..ll.hop import HopTracker
+
+        self.follow_connections = True
+        self.hop_tracker = HopTracker()
+
+    def _maybe_follow(self, pkt):
+        """CONNECT_REQ -> re-key all data channels (wideband hears every
+        data channel; the hop tracker only books the expected pattern)."""
+        from ..ll.hop import ConnectionInfo
+        from ..ll.pdu import AdvPduType, parse_adv_header, parse_adv_payload
+
+        if not (self.follow_connections and pkt.crc_ok
+                and pkt.channel in (37, 38, 39)):
+            return
+        try:
+            hdr = parse_adv_header(pkt.pdu_bytes[:2])
+            if hdr.pdu_type != AdvPduType.CONNECT_REQ:
+                return
+            payload = parse_adv_payload(pkt.pdu_bytes[2:], hdr.pdu_type)
+        except ValueError:
+            return
+        conn = ConnectionInfo(payload.aa, payload.crc_init, payload.hop,
+                              payload.interval, payload.chm)
+        now_us = pkt.sample_pos // CH_SPS
+        self.hop_tracker.on_connect_req(conn, now_us)
+        if self.hop_tracker.state == 0:
+            return
+        self.connection = conn
+        aa_bits = B.hex_to_bits(int(conn.access_addr).to_bytes(4, "little").hex())
+        crc_tab = C.crc_init_reorder(conn.crc_init)
+        aa_rows = np.asarray(self.aa_rows).copy()
+        crc = np.asarray(self.crc_inits).copy()
+        for m in range(M):
+            if bin_to_channel(m) not in (37, 38, 39):
+                aa_rows[m] = aa_bits
+                crc[m] = crc_tab
+        self.aa_rows = jnp.asarray(aa_rows)
+        self.crc_inits = jnp.asarray(crc)
+
     def gather_packets(self, out) -> list:
         """Host-side assembly: global packet list with per-channel
         span-eating across time blocks (same semantics as the
@@ -245,9 +291,11 @@ class ShardedWidebandScan:
                         cursors[m] = abs_p + (32 + 16) * CH_SPS
                         continue
                     pl = int(plen[t, m, k])
-                    packets.append(WidebandPacket(
+                    pkt = WidebandPacket(
                         ch, abs_p, pl, bool(crc_ok[t, m, k]),
                         pdu[t, m, k, : 2 + pl].astype(np.uint8), float(mag[t, m, k]),
-                    ))
+                    )
+                    self._maybe_follow(pkt)
+                    packets.append(pkt)
                     cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * CH_SPS
         return packets

@@ -86,3 +86,34 @@ class TestMultiHost:
             (ch, bytes(expected[ch]).hex()) for ch in chans
         )
         assert scan.local_time_blocks == 4
+
+
+class TestShardedConnectionFollow:
+    def test_connect_req_rekeys_next_step(self, rng):
+        """CONNECT_REQ decoded in step 1 re-keys data channels so step 2
+        hears the connection (hop tracking across the sharded stream)."""
+        from test_hop import CONN_AA, CONN_AA_HEX, CRC_INIT_HEX, connect_req_pdu, data_pdu
+        from btle_tpu.golden import model as G2
+
+        mesh = make_mesh(2, 4)
+        block_wb = 80000
+        scan = ShardedWidebandScan(mesh, block_wb=block_wb)
+        scan.enable_connection_following()
+
+        n = 4 * block_wb
+        cr80 = G2.gfsk_modulate_float(G2.assemble_phy_bits(connect_req_pdu(), 37), 80)
+        wi1, wq1 = synthesize_wideband({37: cr80}, n, {37: 30000})
+        pkts1 = scan.gather_packets(scan(wi1, wq1))
+        assert any(p.crc_ok and p.channel == 37 for p in pkts1)
+        assert scan.connection is not None and scan.connection.access_addr == CONN_AA
+
+        d1 = data_pdu(rng, 10)
+        phy = G2.assemble_phy_bits(d1, 14, crc_init_hex=CRC_INIT_HEX,
+                                   access_address_hex=CONN_AA_HEX)
+        s80 = G2.gfsk_modulate_float(phy, 80)
+        wi2, wq2 = synthesize_wideband({14: s80}, n, {14: 100000})
+        pkts2 = [p for p in scan.gather_packets(scan(wi2, wq2)) if p.crc_ok]
+        from btle_tpu.spec.bits import bits_to_bytes
+
+        assert [p.channel for p in pkts2] == [14]
+        np.testing.assert_array_equal(pkts2[0].pdu_bytes, bits_to_bytes(d1))
