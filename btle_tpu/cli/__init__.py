@@ -15,3 +15,4 @@ from .recon import (  # noqa: F401
 from .tx_builder import AdvInd, Discovery, IBeacon, Packet, Raw, TxPlan, load_plan  # noqa: F401
 from .vendors import manufacturer_name, oui_lookup  # noqa: F401
 from .rx_proc import RxOptions, RxProcess, collect_events, receiver_command  # noqa: F401
+from .rx_proc import TxOptions, run_tx  # noqa: F401

@@ -119,3 +119,37 @@ async def collect_events(options: RxOptions, limit: int | None = None) -> list[E
     finally:
         await proc.stop()
     return out
+
+
+@dataclass
+class TxOptions:
+    """Transmitter options; maps to the `tx` subcommand (tx_proc parity)."""
+
+    descriptors: list[str] = field(default_factory=list)
+    file: Optional[str] = None
+    out: str = "/tmp/btle_tx.bin"
+    out_format: str = "f32"
+    repeat: Optional[int] = None
+
+    def to_argv(self) -> list[str]:
+        argv = ["tx", *self.descriptors, "--out", self.out,
+                "--out-format", self.out_format]
+        if self.file:
+            argv += ["--file", self.file]
+        if self.repeat is not None:
+            argv += ["--repeat", str(self.repeat)]
+        return argv
+
+
+async def run_tx(options: TxOptions) -> int:
+    """Run the transmitter subprocess to completion ($BTLE_TX overrides
+    the executable, mirroring the receiver pattern)."""
+    override = os.environ.get("BTLE_TX")
+    if override:
+        cmd = shlex.split(override) + options.to_argv()
+    else:
+        cmd = [sys.executable, "-m", "btle_tpu.cli"] + options.to_argv()
+    proc = await asyncio.create_subprocess_exec(
+        *cmd, stdout=asyncio.subprocess.DEVNULL,
+        stderr=asyncio.subprocess.DEVNULL)
+    return await proc.wait()

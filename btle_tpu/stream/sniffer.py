@@ -90,9 +90,19 @@ class Sniffer:
     # ------------------------------------------------------------------
     def run(self, source):
         """Consume a sample source to exhaustion, emitting events."""
+        from ..spec.channels import channel_to_freq_hz
+
+        if self.ndjson:
+            self.ndjson.status(time.time(), "start", "file", self.channel,
+                               channel_to_freq_hz(self.channel))
         it = OverlapBlockIterator(source, self.cfg.sps, lag=1, scan_len=self.cfg.scan_len)
-        for block in it:
-            self._process_block(block, it)
+        try:
+            for block in it:
+                self._process_block(block, it)
+        finally:
+            if self.ndjson:
+                self.ndjson.status(time.time(), "stop", "file", self.channel,
+                                   channel_to_freq_hz(self.channel))
         return self.packets
 
     # ------------------------------------------------------------------

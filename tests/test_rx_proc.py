@@ -68,3 +68,37 @@ class TestTui:
         agg = run_headless(events)
         assert len(agg.devices) == 1
         assert agg.devices["aa:bb:cc:dd:ee:ff"].last_rssi == -55
+
+
+class TestTxProcess:
+    def test_tx_subprocess(self, tmp_path, monkeypatch):
+        monkeypatch.delenv("BTLE_RX", raising=False)
+        monkeypatch.delenv("BTLE_TX", raising=False)
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        monkeypatch.setenv("PYTHONPATH", "/root/repo")
+        from btle_tpu.cli import TxOptions, run_tx
+
+        out = tmp_path / "o.bin"
+        rc = asyncio.run(run_tx(TxOptions(
+            descriptors=["37-ADV_IND-TxAdd-1-RxAdd-0-AdvA-0A0B0C0D0E0F-AdvData-02010610"],
+            out=str(out))))
+        assert rc == 0
+        assert out.stat().st_size > 0
+
+
+class TestStatusEvents:
+    def test_start_stop_emitted(self):
+        import io
+
+        import numpy as np
+
+        from btle_tpu.cli.events import parse_line
+        from btle_tpu.stream import NdjsonEmitter, Sniffer, SnifferConfig, array_source
+
+        buf = io.StringIO()
+        sn = Sniffer(SnifferConfig(channel=37, sps=4), ndjson=NdjsonEmitter(buf),
+                     quiet_text=True)
+        sn.run(array_source(np.zeros(100, np.int16), np.zeros(100, np.int16)))
+        evs = [parse_line(l) for l in buf.getvalue().splitlines()]
+        kinds = [e.event for e in evs if e is not None and e.t == "status"]
+        assert kinds == ["start", "stop"]
