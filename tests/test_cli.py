@@ -173,7 +173,9 @@ class TestCliCommands:
                       "--channel", "37", "--json")
         assert r.returncode == 0, r.stderr
         events = [parse_line(l) for l in r.stdout.splitlines()]
-        pkts = [e for e in events if e is not None]
+        pkts = [e for e in events if e is not None and e.t == "pkt"]
+        status = [e for e in events if e is not None and e.t == "status"]
+        assert [s.event for s in status] == ["start", "stop"]
         assert any(e.crc_ok for e in pkts)
         assert pkts[0].adv_a == "01:02:03:04:05:06"
 
@@ -185,7 +187,7 @@ class TestCliCommands:
         r2 = self._run("decode", "--bin", str(out), "--format", "f32", "--json")
         assert r2.returncode == 0, r2.stderr
         pkts = [parse_line(l) for l in r2.stdout.splitlines()]
-        pkts = [e for e in pkts if e is not None and e.crc_ok]
+        pkts = [e for e in pkts if e is not None and e.t == "pkt" and e.crc_ok]
         assert len(pkts) == 1
         assert pkts[0].adv_a == "0a:0b:0c:0d:0e:0f"
 
