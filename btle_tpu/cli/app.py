@@ -312,8 +312,22 @@ def build_parser():
     return ap
 
 
+def _ensure_jax_backend():
+    """Fall back to an available backend when the environment names a
+    plugin that never got registered (e.g. JAX_PLATFORMS left pointing at
+    a site-customized accelerator while running outside that site)."""
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _ensure_jax_backend()
     return args.fn(args)
 
 
