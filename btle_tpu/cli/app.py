@@ -234,6 +234,23 @@ def cmd_ber(args):
     for snr, (ber, ok, nbits) in zip(snrs, results):
         print(json.dumps({"ppm": args.ppm, "snr_db": round(snr, 2),
                           "ber": ber, "pkt_ok": ok, "bits": nbits}))
+    if args.plot:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except ImportError:
+            print("# plot skipped (no matplotlib)", file=sys.stderr)
+            return 0
+        bers = [max(r[0], 1e-7) for r in results]
+        plt.semilogy(snrs, bers, "b+-")
+        plt.title(f"BER with ppm {args.ppm}")
+        plt.xlabel("SNR(dB)")
+        plt.ylabel("BER")
+        plt.grid(True)
+        plt.savefig(args.plot, dpi=120)
+        print(f"# plot written to {args.plot}", file=sys.stderr)
     return 0
 
 
@@ -300,6 +317,7 @@ def build_parser():
     p = sub.add_parser("ber", help="BER sweep at a given ppm")
     p.add_argument("--ppm", type=float, default=0.0)
     p.add_argument("--packets", type=int, default=100)
+    p.add_argument("--plot", default=None, help="write semilogy BER curve PNG")
     p.set_defaults(fn=cmd_ber)
 
     p = sub.add_parser("tui", help="terminal device dashboard over a capture")
