@@ -157,6 +157,8 @@ def cmd_tx(args):
     for spec, pkt in zip(specs, packets):
         print(f"# ch{spec.channel} {spec.pkt_type} {len(pkt.i)} samples "
               f"space {spec.space_ms}ms", file=sys.stderr)
+    if args.dump_dir and not specs:
+        raise SystemExit("tx: --dump-dir needs at least one packet")
     if args.dump_dir:
         # per-stage trace files like the reference tool writes on every
         # parse (info_bit/phy_bit/phy_sample/IQ_sample_for_matlab,
@@ -174,9 +176,14 @@ def cmd_tx(args):
         inter[1::2] = pkt.q
         np.savetxt(os.path.join(args.dump_dir, "phy_sample.txt"), inter, fmt="%d")
         with open(os.path.join(args.dump_dir, "IQ_sample_for_matlab.txt"), "w") as fh:
-            vals = [str(int(v)) for v in inter]
-            for s in range(0, len(vals), 24):
-                fh.write(" ".join(vals[s:s + 24]) + " ...\n")
+            # exact reference layout (save_phy_sample_for_matlab,
+            # btle_tx.c:4037-4056): "...\n" before every 24-value group,
+            # space-terminated values, trailing newline
+            for k, v in enumerate(inter):
+                if k % 24 == 0:
+                    fh.write("...\n")
+                fh.write(f"{int(v)} ")
+            fh.write("\n")
         print(f"# trace files in {args.dump_dir}", file=sys.stderr)
     if args.out:
         i, q = plan_to_stream(packets, sps=4, num_repeat=max(1, repeat))
@@ -343,9 +350,13 @@ def _ensure_jax_backend():
         jax.devices()
 
 
+_JAX_COMMANDS = {"decode", "scan", "wideband", "tx", "ber", "tui"}
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    _ensure_jax_backend()
+    if args.cmd in _JAX_COMMANDS:
+        _ensure_jax_backend()
     return args.fn(args)
 
 

@@ -98,6 +98,7 @@ class ShardedWidebandScan:
         self.follow_connections = False
         self.hop_tracker = None
         self.connection = None
+        self._stream_offset_ch = 0  # per-channel samples consumed so far
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -226,36 +227,16 @@ class ShardedWidebandScan:
     def _maybe_follow(self, pkt):
         """CONNECT_REQ -> re-key all data channels (wideband hears every
         data channel; the hop tracker only books the expected pattern)."""
-        from ..ll.hop import ConnectionInfo
-        from ..ll.pdu import AdvPduType, parse_adv_header, parse_adv_payload
+        from ..wideband.sniffer import try_track_connection
 
-        if not (self.follow_connections and pkt.crc_ok
-                and pkt.channel in (37, 38, 39)):
+        if not self.follow_connections:
             return
-        try:
-            hdr = parse_adv_header(pkt.pdu_bytes[:2])
-            if hdr.pdu_type != AdvPduType.CONNECT_REQ:
-                return
-            payload = parse_adv_payload(pkt.pdu_bytes[2:], hdr.pdu_type)
-        except ValueError:
-            return
-        conn = ConnectionInfo(payload.aa, payload.crc_init, payload.hop,
-                              payload.interval, payload.chm)
-        now_us = pkt.sample_pos // CH_SPS
-        self.hop_tracker.on_connect_req(conn, now_us)
-        if self.hop_tracker.state == 0:
-            return
-        self.connection = conn
-        aa_bits = B.hex_to_bits(int(conn.access_addr).to_bytes(4, "little").hex())
-        crc_tab = C.crc_init_reorder(conn.crc_init)
-        aa_rows = np.asarray(self.aa_rows).copy()
-        crc = np.asarray(self.crc_inits).copy()
-        for m in range(M):
-            if bin_to_channel(m) not in (37, 38, 39):
-                aa_rows[m] = aa_bits
-                crc[m] = crc_tab
-        self.aa_rows = jnp.asarray(aa_rows)
-        self.crc_inits = jnp.asarray(crc)
+        # stream-absolute sample clock across successive __call__s
+        now_us = (self._stream_offset_ch + pkt.sample_pos) // CH_SPS
+        res = try_track_connection(self.hop_tracker, pkt, now_us,
+                                   self.aa_rows, self.crc_inits)
+        if res is not None:
+            self.connection, self.aa_rows, self.crc_inits = res
 
     def gather_packets(self, out) -> list:
         """Host-side assembly: global packet list with per-channel
@@ -298,4 +279,5 @@ class ShardedWidebandScan:
                     self._maybe_follow(pkt)
                     packets.append(pkt)
                     cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * CH_SPS
+        self._stream_offset_ch += pos.shape[0] * k_per_block
         return packets

@@ -44,6 +44,7 @@ def whitening_bits(channel: int, num_bits: int) -> np.ndarray:
         nxt[5] = s[4]
         nxt[6] = s[5]
         s = nxt
+    out.setflags(write=False)
     return out
 
 

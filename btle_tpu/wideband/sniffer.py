@@ -63,6 +63,43 @@ def wideband_scan(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                            crc_inits, adv_flags, sps, lag, max_candidates)
 
 
+def try_track_connection(hop_tracker, pkt, now_us, aa_rows, crc_inits):
+    """CONNECT_REQ handling shared by the single-device and sharded
+    wideband followers: book the connection with the hop tracker and, iff
+    the tracker ACCEPTED it (state 0 -> tracking), return
+    (conn, new_aa_rows, new_crc_inits); otherwise None. A later
+    CONNECT_REQ while already tracking is ignored, like the reference's
+    controller which only consumes receiver_status in state 0
+    (btle_rx.c:2414-2457)."""
+    from ..ll.hop import ConnectionInfo
+    from ..ll.pdu import AdvPduType, parse_adv_header, parse_adv_payload
+
+    if not (pkt.crc_ok and pkt.channel in (37, 38, 39)):
+        return None
+    try:
+        hdr = parse_adv_header(pkt.pdu_bytes[:2])
+        if hdr.pdu_type != AdvPduType.CONNECT_REQ:
+            return None
+        payload = parse_adv_payload(pkt.pdu_bytes[2:], hdr.pdu_type)
+    except ValueError:
+        return None
+    conn = ConnectionInfo(payload.aa, payload.crc_init, payload.hop,
+                          payload.interval, payload.chm)
+    prev_state = hop_tracker.state
+    hop_tracker.on_connect_req(conn, now_us)
+    if not (prev_state == 0 and hop_tracker.state != 0):
+        return None
+    aa_bits = B.hex_to_bits(int(conn.access_addr).to_bytes(4, "little").hex())
+    crc_tab = C.crc_init_reorder(conn.crc_init)
+    new_aa = np.asarray(aa_rows).copy()
+    new_crc = np.asarray(crc_inits).copy()
+    for m in range(M):
+        if bin_to_channel(m) not in (37, 38, 39):
+            new_aa[m] = aa_bits
+            new_crc[m] = crc_tab
+    return conn, jnp.asarray(new_aa), jnp.asarray(new_crc)
+
+
 @dataclass
 class WidebandConfig:
     access_address_hex: str = ADV_ACCESS_ADDRESS_HEX
@@ -141,15 +178,12 @@ class WidebandSniffer:
         q_wb = np.asarray(q_wb, np.float32)
         xi = np.concatenate([self._ctx_i, i_wb])
         xq = np.concatenate([self._ctx_q, q_wb])
-        # next block starts right after this block's territory
+        # next block starts right after this block's territory; xi already
+        # holds ctx+block, so the new context is simply the ctx_len samples
+        # ending at the territory boundary
         step = self.cfg.scan_len_ch * D
-        tail = np.zeros(self._ctx_len, np.float32)
-        avail = min(self._ctx_len, step)
-        tail[-avail:] = i_wb[step - avail : step]
-        self._ctx_i = tail
-        tail = np.zeros(self._ctx_len, np.float32)
-        tail[-avail:] = q_wb[step - avail : step]
-        self._ctx_q = tail
+        self._ctx_i = xi[step : step + self._ctx_len].copy()
+        self._ctx_q = xq[step : step + self._ctx_len].copy()
         out = wideband_scan(
             jnp.asarray(xi), jnp.asarray(xq), self.aa_rows, self.aa_mask,
             self.whiten_rows, self.crc_inits, self.adv_flags,
@@ -203,28 +237,12 @@ class WidebandSniffer:
         if self.hop_tracker is None:
             return
         now_us = pkt.sample_pos // CH_SPS
-        if adv and pkt.crc_ok and pkt.header is not None \
-                and int(pkt.header.pdu_type) == 5 and pkt.payload is not None:
-            from ..ll.hop import ConnectionInfo
-
-            conn = ConnectionInfo(pkt.payload.aa, pkt.payload.crc_init,
-                                  pkt.payload.hop, pkt.payload.interval,
-                                  pkt.payload.chm)
-            self.hop_tracker.on_connect_req(conn, now_us)
-            if self.hop_tracker.state != 0:   # track accepted
-                self.connection = conn
-                aa_hex = int(conn.access_addr).to_bytes(4, "little").hex()
-                aa_bits = B.hex_to_bits(aa_hex)
-                crc_tab = C.crc_init_reorder(conn.crc_init)
-                aa_rows = np.asarray(self.aa_rows).copy()
-                crc = np.asarray(self.crc_inits).copy()
-                for m in range(M):
-                    if bin_to_channel(m) not in (37, 38, 39):
-                        aa_rows[m] = aa_bits
-                        crc[m] = crc_tab
-                self.aa_rows = jnp.asarray(aa_rows)
-                self.crc_inits = jnp.asarray(crc)
-        elif not adv and pkt.crc_ok:
+        if adv:
+            res = try_track_connection(self.hop_tracker, pkt, now_us,
+                                       self.aa_rows, self.crc_inits)
+            if res is not None:
+                self.connection, self.aa_rows, self.crc_inits = res
+        elif pkt.crc_ok:
             self.hop_tracker.on_crc_ok_packet(now_us)
 
     def _attach_parse(self, pkt: WidebandPacket, adv: bool):

@@ -146,3 +146,58 @@ class TestWidebandFollow:
         assert 18 in by_ch
         np.testing.assert_array_equal(by_ch[18].pdu_bytes, B.bits_to_bytes(d2))
         assert sn.connection is not None and sn.connection.access_addr == CONN_AA
+
+
+class TestFollowRobustness:
+    def test_second_connect_req_does_not_rekey(self, rng):
+        """While a connection is tracked, a different CONNECT_REQ must NOT
+        steal the data-channel keys (the reference controller only
+        consumes receiver_status in state 0; review regression)."""
+        cr1 = connect_req_pdu()
+        # a different connection: other AA + other CRC init
+        pdu2 = B.bits_to_bytes(connect_req_pdu())
+        pdu2[2 + 12 : 2 + 16] = list((0x12345678).to_bytes(4, "little"))
+        cr2 = B.bytes_to_bits(pdu2)
+
+        block = 8192 * 20
+        n = 3 * block
+        wi = np.zeros(n, np.float32)
+        wq = np.zeros(n, np.float32)
+        a = G.gfsk_modulate_float(G.assemble_phy_bits(cr1, 37), 80)
+        b = G.gfsk_modulate_float(G.assemble_phy_bits(cr2, 37), 80)
+        s1i, s1q = synthesize_wideband({37: a}, n, {37: 30000})
+        s2i, s2q = synthesize_wideband({37: b}, n, {37: block + 30000})
+        wi += s1i + s2i
+        wq += s1q + s2q
+        sn = WidebandSniffer(WidebandConfig(follow_connections=True))
+        pkts = [p for p in sn.run(wi, wq) if p.crc_ok]
+        assert len(pkts) == 2
+        # still keyed to the FIRST connection
+        assert sn.connection.access_addr == CONN_AA
+        from btle_tpu.wideband import channel_to_bin
+        from btle_tpu.spec import bits as B2
+
+        aa_rows = np.asarray(sn.aa_rows)
+        expected = B2.hex_to_bits(CONN_AA.to_bytes(4, "little").hex())
+        np.testing.assert_array_equal(aa_rows[channel_to_bin(9)], expected)
+
+    def test_tiny_scan_len_context(self, rng):
+        """scan_len_ch*D smaller than the filter length must still carry
+        correct history (review regression for the zero-filled tail)."""
+        scan_len = 32  # step=640 < num_taps-1=1279
+        sig, exp = make_channel_burst_local(rng)
+        aa_ch_pos = 8 * scan_len + 5
+        start_wb = (aa_ch_pos - 32) * 20
+        n = start_wb + len(sig[0]) + 40 * scan_len * 20
+        wi, wq = synthesize_wideband({17: sig}, n, {17: start_wb})
+        sn = WidebandSniffer(WidebandConfig(scan_len_ch=scan_len))
+        pkts = [p for p in sn.run(wi, wq) if p.crc_ok and p.channel == 17]
+        assert len(pkts) == 1
+        np.testing.assert_array_equal(pkts[0].pdu_bytes, exp)
+
+
+def make_channel_burst_local(rng):
+    payload = rng.integers(0, 256, 8, dtype=np.uint8)
+    pdu = B.bytes_to_bits(np.concatenate([[0x01, 8], payload]).astype(np.uint8))
+    phy = G.assemble_phy_bits(pdu, 17)
+    return G.gfsk_modulate_float(phy, 80), B.bits_to_bytes(pdu)

@@ -7,8 +7,11 @@ import json
 import socket
 import subprocess
 import sys
+from pathlib import Path
 
 import pytest
+
+REPO = str(Path(__file__).resolve().parents[1])
 
 
 def _free_port():
@@ -28,8 +31,8 @@ def test_two_process_distributed_scan(tmp_path):
         procs.append(subprocess.Popen(
             [sys.executable, "tests/multihost_worker.py", str(pid), "2",
              str(port), str(out_path)],
-            cwd="/root/repo",
-            env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+            cwd=REPO,
+            env={"PYTHONPATH": REPO, "PATH": "/usr/bin:/bin",
                  "HOME": "/root"},
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         ))
