@@ -127,8 +127,13 @@ def decode_block(
     hit, bits = scan_block(i, q, aa_bits, aa_mask, sps, lag)
     npos = hit.shape[0]
     big = jnp.int32(np.iinfo(np.int32).max // 2)
-    pos_or_big = jnp.where(hit, jnp.arange(npos, dtype=jnp.int32), big)
-    top = jnp.sort(pos_or_big)[:max_candidates]
+    # earliest-K hit positions WITHOUT a full sort: the k-th hit's rank is
+    # cumsum(hit)-1, so one scatter (dropping ranks >= K) collects them in
+    # order — O(n) instead of O(n log n) over multi-million-sample blocks
+    rank = jnp.cumsum(hit.astype(jnp.int32)) - 1
+    scatter_idx = jnp.where(hit & (rank < max_candidates), rank, max_candidates)
+    top = jnp.full(max_candidates, big, jnp.int32).at[scatter_idx].set(
+        jnp.arange(npos, dtype=jnp.int32), mode="drop")
     valid = top < big
     pos = jnp.where(valid, top, 0)
 
