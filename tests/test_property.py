@@ -8,7 +8,7 @@ import pytest
 jax = pytest.importorskip("jax")
 hypothesis = pytest.importorskip("hypothesis")
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from btle_tpu.golden import model as G
 from btle_tpu.rx import golden_decode, stream_decode
@@ -16,7 +16,9 @@ from btle_tpu.spec import bits as B
 from btle_tpu.spec import crc24 as C
 from btle_tpu.spec import whitening as W
 
-SET = settings(max_examples=25, deadline=None)
+SET = settings(max_examples=25, deadline=None,
+               # spec-plausibility filtering of structured AAs is intentional
+               suppress_health_check=[HealthCheck.filter_too_much])
 
 
 @st.composite
