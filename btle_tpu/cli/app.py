@@ -126,7 +126,7 @@ def cmd_wideband(args):
                                         "f32": np.float32}[args.format])
     i_wb = data[0::2].astype(np.float32)
     q_wb = data[1::2].astype(np.float32)
-    sn = WidebandSniffer(WidebandConfig())
+    sn = WidebandSniffer(WidebandConfig(follow_connections=args.follow))
     pkts = sn.run(i_wb, q_wb)
     pcap = PcapWriter(args.pcap) if args.pcap else None
     for p in pkts:
@@ -140,6 +140,11 @@ def cmd_wideband(args):
     ok = sum(1 for p in pkts if p.crc_ok)
     print(f"# {len(pkts)} packets ({ok} CRC OK) across "
           f"{len({p.channel for p in pkts})} channels", file=sys.stderr)
+    if args.follow and sn.connection is not None:
+        c = sn.connection
+        print(f"# followed connection AA {c.access_addr:08x} "
+              f"crcInit {c.crc_init:06x} hop {c.hop} interval {c.interval}",
+              file=sys.stderr)
     return 0
 
 
@@ -297,6 +302,8 @@ def build_parser():
     p.add_argument("--bin", required=True)
     p.add_argument("--format", default="f32", choices=["i8", "i16", "f32"])
     p.add_argument("--pcap", default=None)
+    p.add_argument("--follow", action="store_true",
+                   help="follow CONNECT_REQs onto the data channels")
     p.set_defaults(fn=cmd_wideband)
 
     p = sub.add_parser("tx", help="synthesize packets to an IQ file")
