@@ -49,10 +49,6 @@ class BlockDecodeResult:
     consumed: int = 0        # lattice samples consumed by the scan
 
 
-def _np_bits(x) -> np.ndarray:
-    return np.asarray(x, dtype=np.int8)
-
-
 def decode_candidate_np(
     bits: np.ndarray,
     pos: int,

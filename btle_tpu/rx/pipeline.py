@@ -82,9 +82,8 @@ def _decode_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
         jnp.asarray(_BYTE_WEIGHTS, jnp.float32),
     ).astype(jnp.int32)
 
-    hdr_bits = dew[8:14]
-    plen6 = jnp.dot(hdr_bits.astype(jnp.int32), jnp.asarray(_BYTE_WEIGHTS[:6] // 1))
-    plen5 = jnp.dot(dew[8:13].astype(jnp.int32), jnp.asarray(_BYTE_WEIGHTS[:5] // 1))
+    plen6 = jnp.dot(dew[8:14].astype(jnp.int32), jnp.asarray(_BYTE_WEIGHTS[:6]))
+    plen5 = jnp.dot(dew[8:13].astype(jnp.int32), jnp.asarray(_BYTE_WEIGHTS[:5]))
     plen = jnp.where(adv_flag, plen6, plen5)
     # ADV payload must be 6..37 (btle_rx.c:2293); data-channel max 31 by field width
     len_ok = jnp.where(adv_flag, (plen >= 6) & (plen <= 37), plen <= 31)

@@ -25,6 +25,15 @@ def _deinterleave(arr: np.ndarray):
     return arr[0::2].astype(np.int16), arr[1::2].astype(np.int16)
 
 
+def _raw_to_pairs(raw: bytes, fmt: str, dtype) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.frombuffer(raw, dtype=dtype)
+    if len(arr) % 2:
+        arr = arr[:-1]
+    if fmt == "f32":
+        arr = np.round(arr * 256).astype(np.int16)
+    return _deinterleave(np.asarray(arr))
+
+
 def iq_file_source(path: str, fmt: str = "i16", chunk_pairs: int = DEFAULT_CHUNK) -> Iterator:
     """Stream a capture file as (i, q) int16 chunks.
 
@@ -38,12 +47,7 @@ def iq_file_source(path: str, fmt: str = "i16", chunk_pairs: int = DEFAULT_CHUNK
             raw = fh.read(chunk_pairs * 2 * itemsize)
             if not raw:
                 return
-            arr = np.frombuffer(raw, dtype=dtype)
-            if len(arr) % 2:
-                arr = arr[:-1]
-            if fmt == "f32":
-                arr = np.round(arr * 256).astype(np.int16)
-            yield _deinterleave(np.asarray(arr))
+            yield _raw_to_pairs(raw, fmt, dtype)
 
 
 def stdin_source(fmt: str = "i8", chunk_pairs: int = DEFAULT_CHUNK) -> Iterator:
@@ -54,12 +58,7 @@ def stdin_source(fmt: str = "i8", chunk_pairs: int = DEFAULT_CHUNK) -> Iterator:
         raw = fh.read(chunk_pairs * 2 * itemsize)
         if not raw:
             return
-        arr = np.frombuffer(raw, dtype=dtype)
-        if len(arr) % 2:
-            arr = arr[:-1]
-        if fmt == "f32":
-            arr = np.round(arr * 256).astype(np.int16)
-        yield _deinterleave(np.asarray(arr))
+        yield _raw_to_pairs(raw, fmt, dtype)
 
 
 def array_source(i: np.ndarray, q: np.ndarray, chunk_pairs: int = DEFAULT_CHUNK) -> Iterator:
