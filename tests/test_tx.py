@@ -174,3 +174,27 @@ class TestUsrpReplayFile:
                 break
         assert found >= 0, "descriptor synthesis must match the capture"
         np.testing.assert_array_equal(cq[found : found + len(ours)], syn.q)
+
+
+class TestDescriptorFuzz:
+    def test_random_strings_raise_descriptor_errors_only(self, rng):
+        """Malformed descriptors must fail with DescriptorError, never
+        with an unrelated exception (parser robustness)."""
+        import string
+
+        alphabet = string.ascii_letters + string.digits + "--..  !"
+        for _ in range(300):
+            n = int(rng.integers(1, 60))
+            s = "".join(rng.choice(list(alphabet)) for _ in range(n))
+            try:
+                parse_descriptor(s)
+            except DescriptorError:
+                pass
+
+    def test_truncations_of_valid_descriptors(self):
+        for t, d in EXAMPLES.items():
+            for cut in range(1, len(d), 7):
+                try:
+                    parse_descriptor(d[:cut])
+                except DescriptorError:
+                    pass
