@@ -63,11 +63,16 @@ def _build_sniffer(args):
         raw=args.raw,
         rssi=args.rssi,
     )
+    pcap = None
+    if args.pcap:
+        # "-" streams pcap to stdout for `wireshark -k -i -` (the
+        # reference's ble_fpga_ctl live-wireshark pattern)
+        pcap = PcapWriter(sys.stdout.buffer if args.pcap == "-" else args.pcap)
     return Sniffer(
         cfg,
         ndjson=NdjsonEmitter() if args.json else None,
-        pcap=PcapWriter(args.pcap) if args.pcap else None,
-        quiet_text=args.quiet_text or args.json,
+        pcap=pcap,
+        quiet_text=args.quiet_text or args.json or args.pcap == "-",
     )
 
 

@@ -47,6 +47,7 @@ class BlockDecodeResult:
     bad_headers: list[DecodedPacket] = field(default_factory=list)  # ADV len out of range
     num_hits: int = 0
     consumed: int = 0        # lattice samples consumed by the scan
+    truncated: bool = False  # candidate slots exhausted; later hits unseen
 
 
 def decode_candidate_np(
@@ -173,6 +174,7 @@ def stream_decode(
     raw: bool = False,
     rssi: bool = False,
     start: int = 0,
+    max_candidates: int | None = None,
 ) -> BlockDecodeResult:
     """C-receiver-equivalent scan of one IQ block (btle_rx.c:2188-2391).
 
@@ -191,6 +193,8 @@ def stream_decode(
     """
     import jax.numpy as jnp
 
+    from .pipeline import decode_block
+
     i = np.asarray(i, dtype=np.int16)
     q = np.asarray(q, dtype=np.int16)
     if access_address is None:
@@ -205,40 +209,53 @@ def stream_decode(
     if crc_init_table is None:
         crc_init_table = C.lfsr_init_to_table_init(ADV_CRC_INIT_HEX)
 
-    hit, bits = scan_block(
-        jnp.asarray(i), jnp.asarray(q), jnp.asarray(aa_bits), jnp.asarray(aa_mask),
-        sps=sps, lag=1,
-    )
-    hit = np.asarray(hit)
-    bits = np.asarray(bits)
-    hit_positions = np.nonzero(hit)[0]
-
-    whiten_seq = W.whitening_bits(channel, MAX_PDU_CRC_BYTE * 8)
     adv = channel in (37, 38, 39)
-    limit = scan_limit if scan_limit is not None else len(hit)
+    # raw mode dumps the demodulated 42 bytes WITHOUT de-whitening
+    # (btle_rx.c:2269-2272 skips scramble_byte when raw)
+    whiten_seq = (np.zeros(MAX_PDU_CRC_BYTE * 8, np.int8) if raw
+                  else W.whitening_bits(channel, MAX_PDU_CRC_BYTE * 8))
+    n_lattice = len(i) - 1
+    # candidate slots scale with block size: real packets are >= ~500
+    # samples apart after span-eating, and strong packets burn a few
+    # adjacent-phase duplicate slots each
+    if max_candidates is None:
+        max_candidates = max(16, n_lattice // 2048)
 
-    res = BlockDecodeResult(num_hits=int(len(hit_positions)))
+    # Dense device decode: only the tiny candidate arrays come back to the
+    # host (the bit lattice and hit mask stay on device), which keeps the
+    # host<->device traffic per block at a few KB.
+    out = decode_block(
+        jnp.asarray(i), jnp.asarray(q), jnp.asarray(aa_bits),
+        jnp.asarray(aa_mask), jnp.asarray(whiten_seq),
+        jnp.int32(crc_init_table), jnp.asarray(adv),
+        sps=sps, lag=1, max_candidates=max_candidates, with_mag=rssi,
+    )
+    pos_a = np.asarray(out["pos"])
+    valid_a = np.asarray(out["valid"])
+    plen_a = np.asarray(out["payload_len"])
+    crc_a = np.asarray(out["crc_match"]) if "crc_match" in out else np.asarray(out["crc_ok"])
+    pdu_a = np.asarray(out["pdu_bytes"]).astype(np.uint8)
+    mag_a = np.asarray(out["mag_mean"])
+    num_hits = int(np.asarray(out["num_hits"]))
+
+    limit = scan_limit if scan_limit is not None else n_lattice
+    res = BlockDecodeResult(num_hits=num_hits)
+    if bool(valid_a.all()) and num_hits > len(pos_a):
+        res.truncated = True
     cursor = start
-    for pos in hit_positions:
-        pos = int(pos)
+    for k in range(len(pos_a)):
+        if not valid_a[k]:
+            break
+        pos = int(pos_a[k])
         if pos < cursor:
             continue  # consumed by a previous packet (btle_rx.c:2226-2232)
         if pos >= limit:
             break
-        rssi_dbm = None
-        if rssi:
-            win = AA_BITS * sps
-            seg_i = i[pos : pos + win].astype(np.int64)
-            seg_q = q[pos : pos + win].astype(np.int64)
-            mag_mean = float(np.sum(np.abs(seg_i) + np.abs(seg_q))) / win
-            rssi_dbm = rssi_dbm_from_mag(mag_mean)
-
-        plen, crc_ok, pkt_bytes, crc_rcv, complete = decode_candidate_np(
-            bits, pos, sps, whiten_seq, crc_init_table, adv
-        )
+        rssi_dbm = rssi_dbm_from_mag(float(mag_a[k])) if rssi else None
+        plen = int(plen_a[k])
         if raw:
             pkt = DecodedPacket(pos, pos % sps, plen, False,
-                                pkt_bytes[:42], np.zeros(3, np.uint8), rssi_dbm)
+                                pdu_a[k, :42], np.zeros(3, np.uint8), rssi_dbm)
             res.packets.append(pkt)
             cursor = pos + (AA_BITS + 42 * 8) * sps
             continue
@@ -246,19 +263,22 @@ def stream_decode(
             # header consumed, packet rejected (btle_rx.c:2290-2298)
             res.bad_headers.append(
                 DecodedPacket(pos, pos % sps, plen, False,
-                              pkt_bytes[:2], np.zeros(3, np.uint8), rssi_dbm)
+                              pdu_a[k, :2], np.zeros(3, np.uint8), rssi_dbm)
             )
             cursor = pos + (AA_BITS + HDR_BITS) * sps
             continue
+        plen_c = min(plen, 37)
+        complete = pos + (AA_BITS + HDR_BITS + (plen_c + 3) * 8) * sps <= n_lattice
         if not complete:
             # packet runs past the lattice; the C loop breaks here and the
             # stream layer re-presents these samples in the next block
             break
         pkt = DecodedPacket(
-            pos, pos % sps, plen, bool(crc_ok),
-            pkt_bytes[: 2 + plen].copy(), crc_rcv.copy(), rssi_dbm,
+            pos, pos % sps, plen, bool(crc_a[k]),
+            pdu_a[k, : 2 + plen_c].copy(),
+            pdu_a[k, 2 + plen_c : 5 + plen_c].copy(), rssi_dbm,
         )
         res.packets.append(pkt)
-        cursor = pos + (AA_BITS + HDR_BITS) * sps + (plen + 3) * 8 * sps
+        cursor = pos + (AA_BITS + HDR_BITS) * sps + (plen_c + 3) * 8 * sps
     res.consumed = cursor
     return res

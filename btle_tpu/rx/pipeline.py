@@ -100,7 +100,7 @@ def _decode_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
     return plen, crc_match, pkt_bytes, len_ok, dew
 
 
-@partial(jax.jit, static_argnames=("sps", "lag", "max_candidates"))
+@partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "with_mag"))
 def decode_block(
     i,
     q,
@@ -112,6 +112,7 @@ def decode_block(
     sps: int,
     lag: int,
     max_candidates: int = 16,
+    with_mag: bool = True,
 ):
     """Fully dense block decode. Returns a dict of per-candidate arrays
     (earliest ``max_candidates`` AA hits) plus the total hit count.
@@ -143,12 +144,16 @@ def decode_block(
     crc_ok = crc_match & len_ok
 
     # RSSI statistic: mean(|I|+|Q|) over the 32-symbol AA window
-    # (btle_rx.c:2234-2252). Converted to dBm-ish on the host.
-    win = AA_BITS * sps
-    mag = jnp.abs(i.astype(jnp.int32)) + jnp.abs(q.astype(jnp.int32))
-    cmag = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(mag)])
-    upper = jnp.clip(pos + win, 0, mag.shape[0])
-    mag_mean = (cmag[upper] - cmag[pos]).astype(jnp.float32) / jnp.float32(win)
+    # (btle_rx.c:2234-2252). Converted to dBm-ish on the host; skippable
+    # (the cumsum over the whole block is not free when RSSI is unused).
+    if with_mag:
+        win = AA_BITS * sps
+        mag = jnp.abs(i.astype(jnp.int32)) + jnp.abs(q.astype(jnp.int32))
+        cmag = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(mag)])
+        upper = jnp.clip(pos + win, 0, mag.shape[0])
+        mag_mean = (cmag[upper] - cmag[pos]).astype(jnp.float32) / jnp.float32(win)
+    else:
+        mag_mean = jnp.zeros(max_candidates, jnp.float32)
 
     return {
         "pos": pos,

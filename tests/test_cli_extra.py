@@ -70,8 +70,15 @@ class TestRawMode:
         events = sn.run(array_source(i, q))
         assert len(events) >= 1
         assert len(events[0].raw_bytes) == 42
-        # raw bytes are the de-whitened stream after the AA: header first
-        assert events[0].raw_bytes[0] == 0x40 and events[0].raw_bytes[1] == 12
+        # raw mode dumps the stream after the AA WITHOUT de-whitening
+        # (btle_rx.c:2269-2272 skips scramble_byte when raw)
+        from btle_tpu.golden import assemble_phy_bits
+
+        phy = assemble_phy_bits(pdu, 37)
+        expected = B.bits_to_bytes(phy[40:])
+        np.testing.assert_array_equal(
+            np.frombuffer(events[0].raw_bytes[: len(expected)], np.uint8),
+            expected)
 
 
 class TestAccessMask:
