@@ -38,7 +38,9 @@ def _add_rx_args(p):
     p.add_argument("--rssi", action="store_true", help="estimate RSSI")
     p.add_argument("--json", action="store_true", help="NDJSON events on stdout")
     p.add_argument("--quiet-text", action="store_true")
-    p.add_argument("--pcap", default=None, help="write packets to pcap")
+    p.add_argument("--pcap", default=None, help="write packets to pcap ('-' = stdout for wireshark)")
+    p.add_argument("--scan-len", type=int, default=None,
+                   help="block territory in samples (default 8192 live / 131072 file)")
 
 
 def _build_sniffer(args):
@@ -51,7 +53,14 @@ def _build_sniffer(args):
         for v in args.filter_pdu.split(","):
             pdu_mask |= 1 << int(v)
     aa = int(args.access_addr, 16) if args.access_addr else 0x8E89BED6
+    if args.scan_len is not None:
+        scan_len = args.scan_len
+    else:
+        # files benefit from large blocks (fewer dispatches); stdin streams
+        # keep the reference's ~2 ms granularity for latency
+        scan_len = 8192 if args.bin == "-" else 131072
     cfg = SnifferConfig(
+        scan_len=scan_len,
         channel=args.channel,
         access_addr=aa,
         crc_init=int(args.crc_init, 16),
