@@ -36,6 +36,8 @@ def _add_rx_args(p):
     p.add_argument("--hop", action="store_true", help="follow CONNECT_REQ hops")
     p.add_argument("--raw", action="store_true", help="raw 42-byte dumps per AA hit")
     p.add_argument("--rssi", action="store_true", help="estimate RSSI")
+    p.add_argument("--verbose", "-v", action="store_true",
+                   help="also report rejected/bad-header hits")
     p.add_argument("--json", action="store_true", help="NDJSON events on stdout")
     p.add_argument("--quiet-text", action="store_true")
     p.add_argument("--pcap", default=None, help="write packets to pcap ('-' = stdout for wireshark)")
@@ -71,6 +73,7 @@ def _build_sniffer(args):
         hop=args.hop,
         raw=args.raw,
         rssi=args.rssi,
+        verbose=getattr(args, "verbose", False),
     )
     pcap = None
     if args.pcap:
