@@ -14,7 +14,10 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# BTLE_TPU_TEST_BACKEND=tpu runs the suite against attached hardware
+# (slow over the remote-compile tunnel; used for hardware spot checks)
+if os.environ.get("BTLE_TPU_TEST_BACKEND", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
