@@ -68,7 +68,10 @@ class TestDeinterleave:
 class TestUdp:
     def test_udp_ingest(self):
         ring = runtime.IqRingBuffer(1 << 16)
-        port = 41337
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
         src = runtime.UdpIngest(ring, port, "i16")
         try:
             payload = np.arange(512, dtype=np.int16).tobytes()
