@@ -8,7 +8,14 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from btle_tpu.golden import model as G
+
+if os.environ.get("BTLE_TPU_TEST_BACKEND") == "tpu":
+    pytest.skip("pallas interpret mode is a CPU debugging path; the "
+                "compiled kernel is exercised by dev benchmarks",
+                allow_module_level=True)
 from btle_tpu.phy.pallas_scan import scan_block_fused
 from btle_tpu.rx.pipeline import scan_block
 from btle_tpu.spec import bits as B
