@@ -75,6 +75,9 @@ def _build_sniffer(args):
         rssi=args.rssi,
         verbose=getattr(args, "verbose", False),
     )
+    if args.pcap == "-" and args.json:
+        raise SystemExit("decode: --json and --pcap - both write stdout; "
+                         "pick one (or write the pcap to a file)")
     pcap = None
     if args.pcap:
         # "-" streams pcap to stdout for `wireshark -k -i -` (the

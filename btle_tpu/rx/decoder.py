@@ -47,37 +47,7 @@ class BlockDecodeResult:
     bad_headers: list[DecodedPacket] = field(default_factory=list)  # ADV len out of range
     num_hits: int = 0
     consumed: int = 0        # lattice samples consumed by the scan
-    truncated: bool = False  # candidate slots exhausted; later hits unseen
 
-
-def decode_candidate_np(
-    bits: np.ndarray,
-    pos: int,
-    sps: int,
-    whiten_seq: np.ndarray,
-    crc_init_table: int,
-    adv: bool,
-):
-    """NumPy twin of pipeline._decode_candidate for host-side paths.
-
-    ``bits`` is the full-rate decision lattice; candidate bits are read at
-    symbol stride from pos+32*sps. Bits past the lattice end are treated as
-    missing (the caller decides truncation semantics)."""
-    m = len(bits)
-    idx = pos + AA_BITS * sps + np.arange(MAX_PDU_CRC_BYTE * 8) * sps
-    avail = idx < m
-    raw = bits[np.minimum(idx, m - 1)]
-    dew = raw ^ whiten_seq[: len(raw)]
-    pkt_bytes = np.packbits(dew.astype(np.uint8), bitorder="little")
-    nlen = 6 if adv else 5
-    plen = B.bits_to_uint(dew[8 : 8 + nlen])
-    plen_c = min(plen, 37)
-    body = pkt_bytes[: 2 + plen_c]
-    crc_calc = C.crc24_bytes(body, crc_init_table)
-    crc_rcv_bytes = pkt_bytes[2 + plen_c : 5 + plen_c]
-    crc_ok = crc_calc == C.crc_received_from_bytes(crc_rcv_bytes)
-    complete = bool(avail[(2 + plen_c + 3) * 8 - 1])
-    return plen, bool(crc_ok) and complete, pkt_bytes, crc_rcv_bytes, complete
 
 
 @dataclass
@@ -222,63 +192,84 @@ def stream_decode(
         max_candidates = max(16, n_lattice // 2048)
 
     # Dense device decode: only the tiny candidate arrays come back to the
-    # host (the bit lattice and hit mask stay on device), which keeps the
-    # host<->device traffic per block at a few KB.
-    out = decode_block(
-        jnp.asarray(i), jnp.asarray(q), jnp.asarray(aa_bits),
-        jnp.asarray(aa_mask), jnp.asarray(whiten_seq),
-        jnp.int32(crc_init_table), jnp.asarray(adv),
-        sps=sps, lag=1, max_candidates=max_candidates, with_mag=rssi,
-    )
-    pos_a = np.asarray(out["pos"])
-    valid_a = np.asarray(out["valid"])
-    plen_a = np.asarray(out["payload_len"])
-    crc_a = np.asarray(out["crc_match"]) if "crc_match" in out else np.asarray(out["crc_ok"])
-    pdu_a = np.asarray(out["pdu_bytes"]).astype(np.uint8)
-    mag_a = np.asarray(out["mag_mean"])
-    num_hits = int(np.asarray(out["num_hits"]))
+    # host (the bit lattice and hit mask stay on device). When a block has
+    # more AA hits than candidate slots (loose --access-mask, dense air),
+    # the scan continues from the consumed cursor — same compiled program,
+    # min_pos is a traced argument — until the territory is covered.
+    import jax
 
+    ji = jnp.asarray(i)
+    jq = jnp.asarray(q)
     limit = scan_limit if scan_limit is not None else n_lattice
-    res = BlockDecodeResult(num_hits=num_hits)
-    if bool(valid_a.all()) and num_hits > len(pos_a):
-        res.truncated = True
+    res = BlockDecodeResult()
     cursor = start
-    for k in range(len(pos_a)):
-        if not valid_a[k]:
-            break
-        pos = int(pos_a[k])
-        if pos < cursor:
-            continue  # consumed by a previous packet (btle_rx.c:2226-2232)
-        if pos >= limit:
-            break
-        rssi_dbm = rssi_dbm_from_mag(float(mag_a[k])) if rssi else None
-        plen = int(plen_a[k])
-        if raw:
-            pkt = DecodedPacket(pos, pos % sps, plen, False,
-                                pdu_a[k, :42], np.zeros(3, np.uint8), rssi_dbm)
-            res.packets.append(pkt)
-            cursor = pos + (AA_BITS + 42 * 8) * sps
-            continue
-        if adv and not (6 <= plen <= 37):
-            # header consumed, packet rejected (btle_rx.c:2290-2298)
-            res.bad_headers.append(
-                DecodedPacket(pos, pos % sps, plen, False,
-                              pdu_a[k, :2], np.zeros(3, np.uint8), rssi_dbm)
+    done = False
+    while not done:
+        out = jax.device_get(decode_block(
+            ji, jq, jnp.asarray(aa_bits),
+            jnp.asarray(aa_mask), jnp.asarray(whiten_seq),
+            jnp.int32(crc_init_table), jnp.asarray(adv),
+            sps=sps, lag=1, max_candidates=max_candidates, with_mag=rssi,
+            min_pos=cursor,
+        ))
+        pos_a = out["pos"]
+        valid_a = out["valid"]
+        plen_a = out["payload_len"]
+        crc_a = out["crc_ok"]
+        pdu_a = out["pdu_bytes"].astype(np.uint8)
+        mag_a = out["mag_mean"]
+        res.num_hits = max(res.num_hits, int(out["num_hits"]))
+        exhausted_slots = bool(valid_a.all())
+        done = True
+        for k in range(len(pos_a)):
+            if not valid_a[k]:
+                break
+            pos = int(pos_a[k])
+            if pos < cursor:
+                continue  # consumed by a previous packet (btle_rx.c:2226-2232)
+            if pos >= limit:
+                break
+            rssi_dbm = rssi_dbm_from_mag(float(mag_a[k])) if rssi else None
+            plen = int(plen_a[k])
+            if raw:
+                pkt = DecodedPacket(pos, pos % sps, plen, False,
+                                    pdu_a[k, :42], np.zeros(3, np.uint8), rssi_dbm)
+                res.packets.append(pkt)
+                cursor = pos + (AA_BITS + 42 * 8) * sps
+                continue
+            if adv and not (6 <= plen <= 37):
+                # header consumed, packet rejected (btle_rx.c:2290-2298)
+                res.bad_headers.append(
+                    DecodedPacket(pos, pos % sps, plen, False,
+                                  pdu_a[k, :2], np.zeros(3, np.uint8), rssi_dbm)
+                )
+                cursor = pos + (AA_BITS + HDR_BITS) * sps
+                continue
+            plen_c = min(plen, 37)
+            # the packet's last bit lives at pos + (32 + nbits - 1)*sps
+            last_bit = pos + (AA_BITS + (plen_c + 5) * 8 - 1) * sps
+            if last_bit >= n_lattice:
+                # packet runs past the lattice; the C loop breaks here and
+                # the stream layer re-presents these samples next block
+                break
+            pkt = DecodedPacket(
+                pos, pos % sps, plen, bool(crc_a[k]),
+                pdu_a[k, : 2 + plen_c].copy(),
+                pdu_a[k, 2 + plen_c : 5 + plen_c].copy(), rssi_dbm,
             )
-            cursor = pos + (AA_BITS + HDR_BITS) * sps
-            continue
-        plen_c = min(plen, 37)
-        complete = pos + (AA_BITS + HDR_BITS + (plen_c + 3) * 8) * sps <= n_lattice
-        if not complete:
-            # packet runs past the lattice; the C loop breaks here and the
-            # stream layer re-presents these samples in the next block
-            break
-        pkt = DecodedPacket(
-            pos, pos % sps, plen, bool(crc_a[k]),
-            pdu_a[k, : 2 + plen_c].copy(),
-            pdu_a[k, 2 + plen_c : 5 + plen_c].copy(), rssi_dbm,
-        )
-        res.packets.append(pkt)
-        cursor = pos + (AA_BITS + HDR_BITS) * sps + (plen_c + 3) * 8 * sps
+            res.packets.append(pkt)
+            cursor = pos + (AA_BITS + HDR_BITS) * sps + (plen_c + 3) * 8 * sps
+        else:
+            # every slot examined without hitting the territory end: if
+            # slots were exhausted there may be unseen hits past the
+            # cursor — rescan from it
+            if exhausted_slots and cursor < limit:
+                last_seen = int(pos_a[len(pos_a) - 1])
+                if cursor <= last_seen:
+                    # no progress past the seen window is impossible since
+                    # every processed hit advances the cursor; but guard
+                    # against a stall anyway
+                    cursor = max(cursor, last_seen + 1)
+                done = False
     res.consumed = cursor
     return res

@@ -113,6 +113,7 @@ def decode_block(
     lag: int,
     max_candidates: int = 16,
     with_mag: bool = True,
+    min_pos=0,
 ):
     """Fully dense block decode. Returns a dict of per-candidate arrays
     (earliest ``max_candidates`` AA hits) plus the total hit count.
@@ -126,6 +127,9 @@ def decode_block(
     """
     hit, bits = scan_block(i, q, aa_bits, aa_mask, sps, lag)
     npos = hit.shape[0]
+    # ``min_pos`` (traced) lets callers continue a span-eating scan past
+    # the first max_candidates hits without recompiling
+    hit = hit & (jnp.arange(npos, dtype=jnp.int32) >= jnp.int32(min_pos))
     big = jnp.int32(np.iinfo(np.int32).max // 2)
     # earliest-K hit positions WITHOUT a full sort: the k-th hit's rank is
     # cumsum(hit)-1, so one scatter (dropping ranks >= K) collects them in

@@ -130,12 +130,11 @@ class Sniffer:
             self._handle_packet(pkt, now_us, block_channel, block_aa)
         if cfg.verbose and not self.quiet_text:
             for bad in res.bad_headers:
-                if bad.sample_pos >= block.skip:
-                    print(
-                        f"PktBAD Ch{block_channel} AA:{block_aa:08x} "
-                        f"PloadL{bad.payload_len} (ADV length out of 6..37)",
-                        file=self.text_fh,
-                    )
+                print(
+                    f"PktBAD Ch{block_channel} AA:{block_aa:08x} "
+                    f"PloadL{bad.payload_len} (ADV length out of 6..37)",
+                    file=self.text_fh,
+                )
         it.consume_to(block.offset + res.consumed)
         if self.hop_tracker:
             end_us = (block.offset + block.scan_len) // cfg.sps

@@ -137,3 +137,35 @@ class TestIlaCsv:
         assert len(ok) == 1
         np.testing.assert_array_equal(
             np.frombuffer(ok[0].payload_bytes, np.uint8), payload)
+
+
+class TestSlotExhaustion:
+    def test_many_hits_scan_continues(self, rng):
+        """More AA hits than candidate slots must not lose later packets:
+        the scan continues from the consumed cursor (review regression).
+        A loose 8-bit care mask makes noise hit constantly."""
+        n = 40960
+        i = rng.integers(-30, 31, n).astype(np.int16)
+        q = rng.integers(-30, 31, n).astype(np.int16)
+        # real packet near the END of the block
+        payload = rng.integers(0, 256, 10, dtype=np.uint8)
+        pdu = B.bytes_to_bits(
+            np.concatenate([[0x40, 10], payload]).astype(np.uint8))
+        ci, cq, _ = G.btle_tx(pdu, 37, sps=4, flavor="c")
+        pos0 = n - len(ci) - 3000
+        i[pos0:pos0 + len(ci)] += ci.astype(np.int16)
+        q[pos0:pos0 + len(cq)] += cq.astype(np.int16)
+
+        # candidate-slot capacity is an implementation artifact and must
+        # not change the decoded set: the 8-slot run (which rescans from
+        # the cursor) must equal a single pass with ample slots
+        res_small = stream_decode(i, q, 37, sps=4, aa_mask_hex="ff000000",
+                                  max_candidates=8)
+        res_big = stream_decode(i, q, 37, sps=4, aa_mask_hex="ff000000",
+                                max_candidates=2048)
+        assert res_small.num_hits > 8  # noise hits constantly at 8 care bits
+        key = lambda r: [(p.sample_pos, p.crc_ok, bytes(p.pdu_bytes).hex())
+                         for p in r.packets]
+        assert key(res_small) == key(res_big)
+        assert len(res_small.packets) > 3
+        assert res_small.consumed == res_big.consumed

@@ -36,13 +36,14 @@ class TestVendorTsv:
         path = tmp_path / "oui.tsv.gz"
         with gzip.open(path, "wt") as fh:
             fh.write("AB:CD:EF\tExample Labs\n")
-        vendors.load_oui_tsv(str(path))
+        monkeypatch.setenv("BTLE_OUI_TSV", str(path))
+        vendors._oui_table.cache_clear()
         try:
             assert vendors.oui_lookup("ab:cd:ef:00:11:22") == "Example Labs"
             # built-ins still present
             assert vendors.oui_lookup("B8:27:EB:00:00:00") == "Raspberry Pi Foundation"
         finally:
-            monkeypatch.delenv("BTLE_OUI_TSV", raising=False)
+            # monkeypatch restores the env var; drop the stale cache too
             vendors._oui_table.cache_clear()
 
 
