@@ -123,13 +123,22 @@ def cmd_scan(args):
     from .aggregate import ScanAggregator
     from .events import packet_event_to_model
 
+    want_json = args.json
+    args.json = False           # suppress per-packet NDJSON; summary only
+    args.quiet_text = True
     sniffer = _build_sniffer(args)
+    args.json = want_json
     events = sniffer.run(iq_file_source(args.bin, args.format))
     agg = ScanAggregator()
     for ev in events:
         if ev.header is not None:
             agg.update(packet_event_to_model(ev))
     rows = agg.snapshot(sort="pkts")
+    if args.json:
+        from .recon import quickscan
+
+        print(quickscan(agg).model_dump_json(indent=2, exclude_none=True))
+        return 0
     print(f"{'AdvA':18} {'Name':24} {'Vendor':20} {'Pkts':>5} {'CRC%':>5} {'RSSI':>5}")
     for r in rows:
         rssi = str(r.last_rssi) if r.last_rssi is not None else "-"
