@@ -1,122 +1,208 @@
 """Streaming scan aggregation: per-AdvA device records + hop state.
 
-Same role/surface as the reference btle_cli.aggregate (aggregate.py of
-host/python/btle_cli): consume schema-v1 events, maintain DeviceRecord per
-advertiser with AD-structure extraction, CRC statistics, advert-interval
-history, and a singleton HopState.
+Covers the role of the reference's btle_cli aggregation layer
+(host/python/btle_cli/src/btle_cli/aggregate.py): consume schema-v1
+events, keep one DeviceRecord per advertiser (names/services/vendor from
+the AD structures, CRC statistics, advert-interval history) plus a
+singleton HopState fed by hop events.
+
+Design here: AD structures are walked by a TLV generator and decoded by
+a small registry of per-type decoder functions writing into ParsedAd;
+merging across packets is policy-driven per field.
 """
 
 from __future__ import annotations
 
 import collections
 import time
-from dataclasses import dataclass, field
-from typing import Iterable, Optional
+import uuid as _uuid
+from dataclasses import dataclass, field, fields as _dc_fields
+from typing import Callable, Iterable
+
+
+def _fresh(factory):
+    return field(default_factory=factory)
 
 from .events import Event, HopEvent, PktEvent, StatusEvent
 from .vendors import manufacturer_name, oui_lookup
 
-# AD types we surface (Bluetooth Assigned Numbers)
-AD_FLAGS = 0x01
-AD_INCOMPLETE_16 = 0x02
-AD_COMPLETE_16 = 0x03
-AD_INCOMPLETE_128 = 0x06
-AD_COMPLETE_128 = 0x07
-AD_SHORTENED_NAME = 0x08
-AD_COMPLETE_NAME = 0x09
-AD_TX_POWER = 0x0A
-AD_SERVICE_DATA_16 = 0x16
-AD_MANUFACTURER_DATA = 0xFF
+# ADV PDU types whose payload carries AD structures after AdvA:
+# ADV_IND / ADV_NONCONN_IND / SCAN_RSP / ADV_SCAN_IND.
+_AD_BEARING_PDUS = frozenset((0, 2, 4, 6))
 
 
 @dataclass
 class ParsedAd:
-    flags: Optional[int] = None
-    local_name: Optional[str] = None
-    tx_power: Optional[int] = None
-    service_uuids_16: list[str] = field(default_factory=list)
-    service_uuids_128: list[str] = field(default_factory=list)
-    manufacturer_id: Optional[int] = None
-    manufacturer_data_hex: Optional[str] = None
+    """The AD fields surfaced to the UI/recon layers."""
+
+    flags: int | None = None
+    local_name: str | None = None
+    tx_power: int | None = None
+    service_uuids_16: list[str] = _fresh(list)
+    service_uuids_128: list[str] = _fresh(list)
+    manufacturer_id: int | None = None
+    manufacturer_data_hex: str | None = None
+
+    def absorb(self, newer: "ParsedAd") -> None:
+        """Merge a later advertisement into this record: scalars are
+        last-writer-wins when present; UUID lists accumulate (a SCAN_RSP
+        often carries services the ADV_IND lacks)."""
+        for f in _dc_fields(self):
+            incoming = getattr(newer, f.name)
+            if isinstance(incoming, list):
+                if incoming:
+                    merged = set(getattr(self, f.name)) | set(incoming)
+                    setattr(self, f.name, sorted(merged))
+            elif incoming is not None:
+                setattr(self, f.name, incoming)
+
+
+def _iter_tlv(stream: bytes):
+    """Yield (ad_type, body) for each well-formed AD structure; stop at
+    the first zero length or truncated entry (reference tools do the
+    same — trailing garbage is common in the air)."""
+    at = 0
+    while at < len(stream):
+        ln = stream[at]
+        end = at + 1 + ln
+        if ln == 0 or end > len(stream):
+            return
+        yield stream[at + 1], stream[at + 2 : end]
+        at = end
+
+
+# Decoder registry: Bluetooth Assigned-Numbers AD type -> handler.
+_AD_DECODERS: dict[int, Callable[[ParsedAd, bytes], None]] = {}
+
+
+def _decodes(*ad_types: int):
+    def register(fn):
+        for t in ad_types:
+            _AD_DECODERS[t] = fn
+        return fn
+
+    return register
+
+
+@_decodes(0x01)  # Flags
+def _d_flags(ad: ParsedAd, body: bytes) -> None:
+    if body:
+        ad.flags = body[0]
+
+
+@_decodes(0x08, 0x09)  # Shortened / Complete Local Name
+def _d_name(ad: ParsedAd, body: bytes) -> None:
+    ad.local_name = body.decode("utf-8", errors="replace")
+
+
+@_decodes(0x0A)  # TX Power Level (signed)
+def _d_txpower(ad: ParsedAd, body: bytes) -> None:
+    if body:
+        ad.tx_power = int.from_bytes(body[:1], "little", signed=True)
+
+
+@_decodes(0x02, 0x03)  # 16-bit Service UUIDs (incomplete/complete)
+def _d_uuid16(ad: ParsedAd, body: bytes) -> None:
+    for k in range(0, len(body) // 2 * 2, 2):
+        ad.service_uuids_16.append(
+            format(int.from_bytes(body[k : k + 2], "little"), "04x")
+        )
+
+
+@_decodes(0x06, 0x07)  # 128-bit Service UUIDs
+def _d_uuid128(ad: ParsedAd, body: bytes) -> None:
+    for k in range(0, len(body) // 16 * 16, 16):
+        ad.service_uuids_128.append(
+            str(_uuid.UUID(bytes=body[k : k + 16][::-1]))
+        )
+
+
+@_decodes(0xFF)  # Manufacturer Specific Data
+def _d_manuf(ad: ParsedAd, body: bytes) -> None:
+    if len(body) >= 2:
+        ad.manufacturer_id = int.from_bytes(body[:2], "little")
+        ad.manufacturer_data_hex = body.hex()
 
 
 def parse_ad_structures(payload_hex: str) -> ParsedAd:
-    """Parse the AD-structure stream after the 6-byte AdvA of an ADV
-    payload. Tolerates truncation and garbage; never raises."""
-    out = ParsedAd()
+    """Decode the AD stream after the 6-byte AdvA of an ADV payload.
+    Tolerant: malformed hex / truncation yield a partial (or empty)
+    ParsedAd, never an exception."""
+    ad = ParsedAd()
     try:
-        data = bytes.fromhex(payload_hex)
+        raw = bytes.fromhex(payload_hex)
     except ValueError:
-        return out
-    if len(data) < 6:
-        return out
-    data = data[6:]
-    i, n = 0, len(data)
-    while i < n:
-        length = data[i]
-        if length == 0 or i + 1 + length > n:
-            break
-        ad_type = data[i + 1]
-        body = data[i + 2 : i + 1 + length]
-        if ad_type == AD_FLAGS and body:
-            out.flags = body[0]
-        elif ad_type in (AD_SHORTENED_NAME, AD_COMPLETE_NAME):
-            out.local_name = body.decode("utf-8", errors="replace")
-        elif ad_type == AD_TX_POWER and body:
-            v = body[0]
-            out.tx_power = v - 256 if v >= 128 else v
-        elif ad_type in (AD_COMPLETE_16, AD_INCOMPLETE_16):
-            for j in range(0, len(body) - 1, 2):
-                out.service_uuids_16.append(f"{body[j] | (body[j+1] << 8):04x}")
-        elif ad_type in (AD_COMPLETE_128, AD_INCOMPLETE_128):
-            for j in range(0, len(body) - 15, 16):
-                raw = body[j : j + 16][::-1].hex()
-                out.service_uuids_128.append(
-                    f"{raw[0:8]}-{raw[8:12]}-{raw[12:16]}-{raw[16:20]}-{raw[20:32]}"
-                )
-        elif ad_type == AD_MANUFACTURER_DATA and len(body) >= 2:
-            out.manufacturer_id = body[0] | (body[1] << 8)
-            out.manufacturer_data_hex = body.hex()
-        i += 1 + length
-    return out
+        return ad
+    for ad_type, body in _iter_tlv(raw[6:] if len(raw) > 6 else b""):
+        handler = _AD_DECODERS.get(ad_type)
+        if handler is not None:
+            handler(ad, body)
+    return ad
+
+
+def _window(n: int) -> collections.deque:
+    return collections.deque(maxlen=n)
 
 
 @dataclass
 class DeviceRecord:
+    """Everything known about one advertiser (keyed by AdvA)."""
+
     adv_a: str
     pkt_count: int = 0
     crc_ok_count: int = 0
     first_seen: float = 0.0
     last_seen: float = 0.0
-    last_rssi: Optional[int] = None
+    last_rssi: int | None = None
     last_channel: int = 0
-    pdu_types_seen: set[int] = field(default_factory=set)
+    pdu_types_seen: set[int] = _fresh(set)
     last_payload_hex: str = ""
-    parsed_ad: ParsedAd = field(default_factory=ParsedAd)
+    parsed_ad: ParsedAd = _fresh(ParsedAd)
     advert_intervals_ms: collections.deque = field(
-        default_factory=lambda: collections.deque(maxlen=64))
-    history: collections.deque = field(
-        default_factory=lambda: collections.deque(maxlen=20))
+        default_factory=lambda: _window(64))
+    history: collections.deque = field(default_factory=lambda: _window(20))
 
     @property
     def name(self) -> str:
-        return self.parsed_ad.local_name or ""
+        return self.parsed_ad.local_name if self.parsed_ad.local_name else ""
 
     @property
     def vendor(self) -> str:
-        if self.parsed_ad.manufacturer_id is not None:
-            v = manufacturer_name(self.parsed_ad.manufacturer_id)
-            if v:
-                return v
-        return oui_lookup(self.adv_a) or ""
+        """Company name: BLE manufacturer ID beats the MAC OUI."""
+        by_mfg = (manufacturer_name(self.parsed_ad.manufacturer_id)
+                  if self.parsed_ad.manufacturer_id is not None else None)
+        return by_mfg or oui_lookup(self.adv_a) or ""
 
     def crc_ok_ratio(self) -> float:
-        return self.crc_ok_count / self.pkt_count if self.pkt_count else 0.0
+        if not self.pkt_count:
+            return 0.0
+        return self.crc_ok_count / self.pkt_count
+
+    def observe(self, evt: PktEvent) -> None:
+        """Fold one adv packet event into this record."""
+        if self.last_seen:
+            gap_ms = (evt.ts - self.last_seen) * 1e3
+            if 0 < gap_ms < 60_000:
+                self.advert_intervals_ms.append(gap_ms)
+        self.pkt_count += 1
+        self.crc_ok_count += int(bool(evt.crc_ok))
+        self.last_seen = evt.ts
+        self.last_channel = evt.ch
+        self.last_payload_hex = evt.payload_hex
+        if evt.rssi_est is not None:  # keep previous RSSI when absent
+            self.last_rssi = evt.rssi_est
+        if evt.pdu_type is not None:  # set membership, first-seen order lost
+            self.pdu_types_seen.add(evt.pdu_type)
+        self.history.append(evt)
+        if evt.pdu_type in _AD_BEARING_PDUS:
+            self.parsed_ad.absorb(parse_ad_structures(evt.payload_hex))
 
 
 @dataclass
 class HopState:
-    following_aa: Optional[str] = None
+    """Singleton view of the hop-follow FSM as reported by hop events."""
+
+    following_aa: str | None = None
     current_ch: int = 0
     fsm_state: int = 0
     interval_us: int = 0
@@ -124,8 +210,29 @@ class HopState:
     crc_init: str = ""
     chm: str = ""
     last_change_ts: float = 0.0
-    history: collections.deque = field(
-        default_factory=lambda: collections.deque(maxlen=100))
+    history: collections.deque = field(default_factory=lambda: _window(100))
+
+    def observe(self, evt: HopEvent) -> None:
+        self.history.append(evt)
+        self.last_change_ts = evt.ts
+        self.current_ch = evt.ch
+        self.fsm_state = evt.state_to
+        if evt.event == "track_start":
+            self.following_aa = evt.aa
+            self.interval_us = evt.interval_us
+            self.hop_increment = evt.hop
+            self.crc_init = evt.crc_init
+            self.chm = evt.chm or self.chm
+        elif evt.event == "track_drop":
+            self.following_aa = None
+
+
+_SNAPSHOT_ORDERS: dict[str, tuple[Callable[[DeviceRecord], object], bool]] = {
+    "last_seen": (lambda r: r.last_seen, True),
+    "pkts": (lambda r: r.pkt_count, True),
+    "name": (lambda r: r.name or "~", False),
+    "rssi": (lambda r: -200 if r.last_rssi is None else r.last_rssi, True),
+}
 
 
 class ScanAggregator:
@@ -136,14 +243,21 @@ class ScanAggregator:
         self.hop = HopState()
         self.total_pkts = 0
         self.crc_ok_pkts = 0
-        self.last_status: Optional[StatusEvent] = None
+        self.last_status: StatusEvent | None = None
         self.started_at = time.time()
 
     def update(self, evt: Event) -> None:
         if isinstance(evt, PktEvent):
-            self._on_pkt(evt)
+            self.total_pkts += 1
+            self.crc_ok_pkts += int(bool(evt.crc_ok))
+            if evt.kind == "adv" and evt.adv_a:
+                rec = self.devices.get(evt.adv_a)
+                if rec is None:
+                    rec = self.devices.setdefault(
+                        evt.adv_a, DeviceRecord(evt.adv_a, first_seen=evt.ts))
+                rec.observe(evt)
         elif isinstance(evt, HopEvent):
-            self._on_hop(evt)
+            self.hop.observe(evt)
         elif isinstance(evt, StatusEvent):
             self.last_status = evt
 
@@ -153,74 +267,7 @@ class ScanAggregator:
 
     def snapshot(self, sort: str = "last_seen") -> list[DeviceRecord]:
         records = list(self.devices.values())
-        key = {
-            "last_seen": (lambda r: r.last_seen, True),
-            "pkts": (lambda r: r.pkt_count, True),
-            "name": (lambda r: r.name or "~", False),
-            "rssi": (lambda r: r.last_rssi if r.last_rssi is not None else -200, True),
-        }.get(sort)
-        if key:
-            records.sort(key=key[0], reverse=key[1])
+        order = _SNAPSHOT_ORDERS.get(sort)
+        if order is not None:
+            records.sort(key=order[0], reverse=order[1])
         return records
-
-    # ----------------------------------------------------------------
-    def _on_pkt(self, evt: PktEvent) -> None:
-        self.total_pkts += 1
-        if evt.crc_ok:
-            self.crc_ok_pkts += 1
-        if evt.kind != "adv" or not evt.adv_a:
-            return
-        rec = self.devices.get(evt.adv_a)
-        if rec is None:
-            rec = DeviceRecord(adv_a=evt.adv_a, first_seen=evt.ts)
-            self.devices[evt.adv_a] = rec
-        if rec.last_seen:
-            delta_ms = (evt.ts - rec.last_seen) * 1000.0
-            if 0 < delta_ms < 60_000:
-                rec.advert_intervals_ms.append(delta_ms)
-        rec.pkt_count += 1
-        if evt.crc_ok:
-            rec.crc_ok_count += 1
-        rec.last_seen = evt.ts
-        rec.last_channel = evt.ch
-        if evt.rssi_est is not None:
-            rec.last_rssi = evt.rssi_est
-        if evt.pdu_type is not None:
-            rec.pdu_types_seen.add(evt.pdu_type)
-        rec.last_payload_hex = evt.payload_hex
-        rec.history.append(evt)
-
-        if evt.pdu_type in (0, 2, 4, 6):
-            parsed = parse_ad_structures(evt.payload_hex)
-            pa = rec.parsed_ad
-            if parsed.local_name:
-                pa.local_name = parsed.local_name
-            if parsed.tx_power is not None:
-                pa.tx_power = parsed.tx_power
-            if parsed.flags is not None:
-                pa.flags = parsed.flags
-            if parsed.service_uuids_16:
-                pa.service_uuids_16 = sorted(
-                    set(pa.service_uuids_16) | set(parsed.service_uuids_16))
-            if parsed.service_uuids_128:
-                pa.service_uuids_128 = sorted(
-                    set(pa.service_uuids_128) | set(parsed.service_uuids_128))
-            if parsed.manufacturer_id is not None:
-                pa.manufacturer_id = parsed.manufacturer_id
-                pa.manufacturer_data_hex = parsed.manufacturer_data_hex
-
-    def _on_hop(self, evt: HopEvent) -> None:
-        h = self.hop
-        h.history.append(evt)
-        h.last_change_ts = evt.ts
-        h.current_ch = evt.ch
-        h.fsm_state = evt.state_to
-        if evt.event == "track_start":
-            h.following_aa = evt.aa
-            h.interval_us = evt.interval_us
-            h.hop_increment = evt.hop
-            h.crc_init = evt.crc_init
-            if evt.chm:
-                h.chm = evt.chm
-        elif evt.event == "track_drop":
-            h.following_aa = None
