@@ -163,7 +163,12 @@ def cmd_wideband(args):
                 f"plen{p.payload_len} " + bytes(p.pdu_bytes).hex())
         print(line)
         if pcap and p.crc_ok:
-            pcap.write_packet(bytes(p.pdu_bytes), p.channel, 0x8E89BED6)
+            # data-channel packets of a followed connection carry the
+            # sniffed access address in the pcap PHDR, not the adv AA
+            aa = (sn.connection.access_addr
+                  if p.channel < 37 and sn.connection is not None
+                  else 0x8E89BED6)
+            pcap.write_packet(bytes(p.pdu_bytes), p.channel, aa)
     if pcap:
         pcap.close()
     ok = sum(1 for p in pkts if p.crc_ok)

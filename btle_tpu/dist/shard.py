@@ -99,6 +99,10 @@ class ShardedWidebandScan:
         self.hop_tracker = None
         self.connection = None
         self._stream_offset_ch = 0  # per-channel samples consumed so far
+        # (time, channel) cells whose AA hits exceeded the candidate
+        # slots — later packets in that cell were not decoded; raise
+        # max_candidates if this is ever nonzero under real traffic
+        self.truncated_cells = 0
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -253,12 +257,16 @@ class ShardedWidebandScan:
         mag = np.asarray(out["mag_mean"])
         k_per_block = self.block_wb // D
 
+        num_hits = np.asarray(out["num_hits"])
+
         packets = []
         cursors = np.zeros(M, dtype=np.int64)
         for t in range(pos.shape[0]):
             for m in range(M):
                 ch = bin_to_channel(m)
                 adv = ch in (37, 38, 39)
+                if bool(valid[t, m].all()) and int(num_hits[t, m]) > pos.shape[2]:
+                    self.truncated_cells += 1
                 for k in range(pos.shape[2]):
                     if not valid[t, m, k]:
                         break

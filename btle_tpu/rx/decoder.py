@@ -86,7 +86,6 @@ def golden_decode(
     hit = np.asarray(hit)
     bits = np.asarray(bits)
 
-    whiten_seq = W.whitening_bits(channel, MAX_PDU_CRC_BYTE * 8)
     crc_init_bits = B.hex_to_bits(crc_init_hex)
     adv = channel in (37, 38, 39)
     num_bit = int(round(len(i) / sps)) - 1

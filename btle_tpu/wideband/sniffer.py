@@ -63,6 +63,24 @@ def wideband_scan(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                            crc_inits, adv_flags, sps, lag, max_candidates)
 
 
+@partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "num_taps",
+                                   "has_context"))
+def rescan_channel(i_wb, q_wb, slot, aa_row, aa_mask, whiten_row, crc_init,
+                   adv_flag, min_pos, sps: int = CH_SPS, lag: int = CH_LAG,
+                   max_candidates: int = 8, num_taps: int = 1280,
+                   has_context: bool = False):
+    """Continue the span-eating scan of ONE channel past ``min_pos``.
+
+    Used when a block has more AA hits in a channel than candidate slots
+    (the wideband analog of stream_decode's slot-exhaustion rescan,
+    rx/decoder.py): ``slot`` and ``min_pos`` are traced, so every rescan
+    reuses one compiled program regardless of channel or cursor."""
+    y_i, y_q = channelize(i_wb, q_wb, num_taps=num_taps, has_context=has_context)
+    return decode_block(y_i[slot], y_q[slot], aa_row, aa_mask, whiten_row,
+                        crc_init, adv_flag, sps=sps, lag=lag,
+                        max_candidates=max_candidates, min_pos=min_pos)
+
+
 def try_track_connection(hop_tracker, pkt, now_us, aa_rows, crc_inits):
     """CONNECT_REQ handling shared by the single-device and sharded
     wideband followers: book the connection with the hop tracker and, iff
@@ -184,53 +202,76 @@ class WidebandSniffer:
         step = self.cfg.scan_len_ch * D
         self._ctx_i = xi[step : step + self._ctx_len].copy()
         self._ctx_q = xq[step : step + self._ctx_len].copy()
+        dxi, dxq = jnp.asarray(xi), jnp.asarray(xq)
         out = wideband_scan(
-            jnp.asarray(xi), jnp.asarray(xq), self.aa_rows, self.aa_mask,
+            dxi, dxq, self.aa_rows, self.aa_mask,
             self.whiten_rows, self.crc_inits, self.adv_flags,
             sps=CH_SPS, lag=CH_LAG,
             max_candidates=self.cfg.max_candidates, num_taps=self.cfg.num_taps,
             has_context=True,
         )
-        pos = np.asarray(out["pos"])
-        valid = np.asarray(out["valid"])
-        plen = np.asarray(out["payload_len"])
-        len_ok = np.asarray(out["len_ok"])
-        crc_ok = np.asarray(out["crc_ok"])
-        pdu = np.asarray(out["pdu_bytes"])
-        mag = np.asarray(out["mag_mean"])
+        out = {k: np.asarray(v) for k, v in out.items()}
 
         packets: list[WidebandPacket] = []
         scan_limit = self.cfg.scan_len_ch
         for m in range(M):
-            ch = bin_to_channel(m)
-            adv = ch in (37, 38, 39)
-            if bool(valid[m].all()) and int(out["num_hits"][m]) > pos.shape[1]:
-                # more AA hits than candidate slots this block: later hits
-                # in this channel are not decoded (raise max_candidates)
+            row = {k: v[m] for k, v in out.items()}
+            exhausted = self._consume_channel(m, row, scan_limit, packets)
+            # slot exhaustion: hits past the last slot were not decoded —
+            # continue this channel's scan from the consumed cursor (same
+            # compiled program each time; slot/min_pos are traced)
+            while exhausted and self._cursors[m] - self._offset_ch < scan_limit:
+                before = self._cursors[m]
                 self.truncated_channels += 1
-            for k in range(pos.shape[1]):
-                if not valid[m, k]:
-                    break
-                p = int(pos[m, k])
-                abs_p = self._offset_ch + p
-                if p >= scan_limit or abs_p < self._cursors[m]:
-                    continue
-                if adv and not len_ok[m, k]:
-                    self._cursors[m] = abs_p + (32 + 16) * CH_SPS
-                    continue
-                pl = int(plen[m, k])
-                pkt = WidebandPacket(
-                    ch, abs_p, pl, bool(crc_ok[m, k]),
-                    pdu[m, k, : 2 + pl].astype(np.uint8), float(mag[m, k]),
+                more = rescan_channel(
+                    dxi, dxq, jnp.int32(m), self.aa_rows[m], self.aa_mask,
+                    self.whiten_rows[m], self.crc_inits[m], self.adv_flags[m],
+                    jnp.int32(self._cursors[m] - self._offset_ch),
+                    sps=CH_SPS, lag=CH_LAG,
+                    max_candidates=self.cfg.max_candidates,
+                    num_taps=self.cfg.num_taps, has_context=True,
                 )
-                self._attach_parse(pkt, adv)
-                self._maybe_follow(pkt, adv)
-                packets.append(pkt)
-                self._cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * CH_SPS
+                more = {k: np.asarray(v) for k, v in more.items()}
+                exhausted = self._consume_channel(m, more, scan_limit, packets)
+                if self._cursors[m] == before:
+                    # remaining hits are all in the halo: the next block's
+                    # scan owns them
+                    break
         self._offset_ch += scan_limit
         if self.hop_tracker is not None:
             self.hop_tracker.on_tick(self._offset_ch // CH_SPS)
         return packets
+
+    def _consume_channel(self, m: int, row: dict, scan_limit: int,
+                         packets: list[WidebandPacket]) -> bool:
+        """Walk one channel's candidate slots in stream order, appending
+        packets and advancing the span-eating cursor. Returns True when
+        every slot was filled AND more hits exist past them (the caller
+        should rescan from the cursor)."""
+        ch = bin_to_channel(m)
+        adv = ch in (37, 38, 39)
+        pos, valid = row["pos"], row["valid"]
+        for k in range(len(pos)):
+            if not valid[k]:
+                return False
+            p = int(pos[k])
+            abs_p = self._offset_ch + p
+            if p >= scan_limit or abs_p < self._cursors[m]:
+                continue
+            if adv and not row["len_ok"][k]:
+                self._cursors[m] = abs_p + (32 + 16) * CH_SPS
+                continue
+            pl = int(row["payload_len"][k])
+            pkt = WidebandPacket(
+                ch, abs_p, pl, bool(row["crc_ok"][k]),
+                row["pdu_bytes"][k, : 2 + pl].astype(np.uint8),
+                float(row["mag_mean"][k]),
+            )
+            self._attach_parse(pkt, adv)
+            self._maybe_follow(pkt, adv)
+            packets.append(pkt)
+            self._cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * CH_SPS
+        return int(row["num_hits"]) > len(pos)
 
     def _maybe_follow(self, pkt: WidebandPacket, adv: bool):
         """CONNECT_REQ handling + hop bookkeeping (follow_connections)."""

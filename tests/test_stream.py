@@ -182,3 +182,26 @@ class TestSniffer:
         ok = [e for e in events if e.crc_ok]
         assert len(ok) == 1
         assert ok[0].payload_bytes[7] == 0x09  # local-name AD type
+
+
+class TestAllZeroMaskStall:
+    def test_zero_access_mask_terminates(self):
+        """Adversarial input for the stall guard (rx/decoder.py): an
+        all-zero access mask makes EVERY lattice position an AA hit, so
+        candidate slots exhaust on every rescan. The scan must still
+        terminate with the cursor covering the territory."""
+        from btle_tpu.rx.decoder import stream_decode
+
+        rng = np.random.default_rng(7)
+        n = 4096
+        i = rng.integers(-80, 80, n).astype(np.int16)
+        q = rng.integers(-80, 80, n).astype(np.int16)
+        res = stream_decode(i, q, channel=37, aa_mask_hex="00000000",
+                            sps=4, max_candidates=4)
+        # every hit either became a packet or a rejected header; the
+        # consumed cursor must reach the end minus at most one maximum
+        # packet span (a final packet crossing the block edge is deferred)
+        max_span = (32 + 16) * 4 + (37 + 3) * 8 * 4
+        assert res.consumed >= n - 1 - max_span
+        assert res.num_hits > 4
+        assert len(res.packets) + len(res.bad_headers) > 0

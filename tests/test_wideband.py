@@ -148,3 +148,39 @@ class TestBlockBoundary:
         pkts = [p for p in sn.run(wi, wq) if p.crc_ok and p.channel == 17]
         assert len(pkts) == 1, f"boundary rel={rel}"
         np.testing.assert_array_equal(pkts[0].pdu_bytes, exp)
+
+
+class TestSlotExhaustion:
+    def test_rescan_recovers_truncated_channel(self, rng):
+        """More packets in one channel per block than candidate slots:
+        the sniffer must rescan from the consumed cursor and still emit
+        every packet (wideband analog of stream_decode's rescan)."""
+        n_pkts = 8
+        bursts = []
+        expected = []
+        gap = np.zeros(6000, np.float32)  # 300 ch-samples between packets
+        for _ in range(n_pkts):
+            (bi, bq), pdu = make_channel_burst(rng, 9, n_payload=6)
+            bursts.append((bi, bq))
+            expected.append(pdu)
+        sig_i = np.concatenate([x for b in bursts for x in (b[0], gap)])
+        sig_q = np.concatenate([x for b in bursts for x in (b[1], gap)])
+        n = len(sig_i) + 120000
+        wi, wq = synthesize_wideband({9: (sig_i, sig_q)}, n, {9: 4000})
+
+        from btle_tpu.wideband import WidebandConfig
+
+        # plenty of slots: baseline packet set, no truncation
+        ref = WidebandSniffer(WidebandConfig(max_candidates=32))
+        ref_pkts = [p for p in ref.run(wi, wq) if p.crc_ok]
+        assert len(ref_pkts) == n_pkts
+        assert ref.truncated_channels == 0
+
+        # starved slots: rescans must recover the identical packet set
+        starved = WidebandSniffer(WidebandConfig(max_candidates=2))
+        got = [p for p in starved.run(wi, wq) if p.crc_ok]
+        assert starved.truncated_channels > 0
+        assert [(p.channel, p.sample_pos) for p in got] == \
+               [(p.channel, p.sample_pos) for p in ref_pkts]
+        for p, exp in zip(got, expected):
+            np.testing.assert_array_equal(p.pdu_bytes, exp)
