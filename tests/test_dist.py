@@ -54,23 +54,37 @@ class TestShardedScan:
         got = _key(scan.gather_packets(scan(wi, wq)))
         assert got == ref
 
-    def test_boundary_straddling_packet(self):
-        """A packet whose samples cross a time-shard boundary decodes via
-        the halo exchange."""
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+    def test_boundary_straddling_packet(self, mesh_shape):
+        """Packets whose samples cross EVERY time-shard boundary of the
+        mesh decode via the ppermute halo exchange; with n_time = 1 the
+        packet sits at the (zero-halo) end of the single shard. Channels
+        are spread across channel-shards so each factorization exercises
+        both axes."""
         rng = np.random.default_rng(3)
-        sig, exp = make_channel_burst(rng, 17, n_payload=30)
-        n_time = 4
+        n_ch, n_time = mesh_shape
         block_wb = 60000
-        n = n_time * block_wb
-        # burst length at 80 Msps ~ (1+4+2+30+3)*8*80 = 25600 samples;
-        # start it 10000 samples before a shard boundary
-        start = block_wb - 10000
-        wi, wq = synthesize_wideband({17: sig}, n, {17: start})
-        mesh = make_mesh(2, n_time)
-        scan = ShardedWidebandScan(mesh, block_wb=block_wb)
+        n = max(n_time, 2) * block_wb
+        # one packet per boundary, on different channels (and different
+        # channel-shard groups); burst ~ (1+4+2+20+3)*8*80 = 19200 samples
+        chans = (17, 9, 30, 2, 25, 36, 12)
+        signals, offsets, expected = {}, {}, {}
+        n_boundaries = max(n_time - 1, 1)
+        for b in range(n_boundaries):
+            ch = chans[b % len(chans)]
+            sig, exp = make_channel_burst(rng, ch, n_payload=20)
+            signals[ch], expected[ch] = sig, exp
+            if n_time == 1:
+                offsets[ch] = n - 25000  # tail of the only shard
+            else:
+                offsets[ch] = (b + 1) * block_wb - 9000
+        wi, wq = synthesize_wideband(signals, n, offsets)
+        mesh = make_mesh(n_ch, n_time)
+        scan = ShardedWidebandScan(mesh, block_wb=n // n_time)
         pkts = [p for p in scan.gather_packets(scan(wi, wq)) if p.crc_ok]
-        assert len(pkts) == 1
-        np.testing.assert_array_equal(pkts[0].pdu_bytes, exp)
+        assert sorted(p.channel for p in pkts) == sorted(expected), mesh_shape
+        for p in pkts:
+            np.testing.assert_array_equal(p.pdu_bytes, expected[p.channel])
 
 
 class TestMultiHost:
