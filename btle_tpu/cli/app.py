@@ -43,6 +43,9 @@ def _add_rx_args(p):
     p.add_argument("--pcap", default=None, help="write packets to pcap ('-' = stdout for wireshark)")
     p.add_argument("--scan-len", type=int, default=None,
                    help="block territory in samples (default 8192 live / 131072 file)")
+    p.add_argument("--control-port", type=int, default=None,
+                   help="UDP port for live retune commands (see send-cmd; "
+                        "0 = pick a free port)")
 
 
 def _build_sniffer(args):
@@ -83,11 +86,19 @@ def _build_sniffer(args):
         # "-" streams pcap to stdout for `wireshark -k -i -` (the
         # reference's ble_fpga_ctl live-wireshark pattern)
         pcap = PcapWriter(sys.stdout.buffer if args.pcap == "-" else args.pcap)
+    control = None
+    if getattr(args, "control_port", None) is not None:
+        from ..stream.control import ControlServer
+
+        control = ControlServer(args.control_port)
+        print(f"# control channel listening on udp:{control.port}",
+              file=sys.stderr)
     return Sniffer(
         cfg,
         ndjson=NdjsonEmitter() if args.json else None,
         pcap=pcap,
         quiet_text=args.quiet_text or args.json or args.pcap == "-",
+        control=control,
     )
 
 
@@ -313,6 +324,22 @@ def cmd_tui(args):
     return 0
 
 
+def cmd_send_cmd(args):
+    from ..stream.control import parse_register_file, send_command
+
+    regs = parse_register_file(args.register_file) if args.register_file else []
+    n = send_command(
+        args.port, args.host,
+        channel=args.channel,
+        crc_init=int(args.crc_init, 16) if args.crc_init else None,
+        access_addr=int(args.access_addr, 16) if args.access_addr else None,
+        regs=regs,
+    )
+    print(f"# sent {n} register write(s) to {args.host}:{args.port}",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_mcp(args):
     from .mcp_server import main as mcp_main
 
@@ -372,6 +399,18 @@ def build_parser():
     _add_rx_args(p)
     p.add_argument("--seconds", type=float, default=None, help="auto-exit after N s")
     p.set_defaults(fn=cmd_tui)
+
+    p = sub.add_parser("send-cmd", help="retune a running receiver "
+                       "(ble_send_cmd parity: channel / CRC init / AA)")
+    p.add_argument("--port", type=int, required=True,
+                   help="receiver's --control-port")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("-n", "--channel", type=int, default=None)
+    p.add_argument("-c", "--crc-init", default=None, help="hex, e.g. 0x555555")
+    p.add_argument("-a", "--access-addr", default=None, help="hex, e.g. 0x8E89BED6")
+    p.add_argument("-w", "--register-file", default=None,
+                   help="file of 'reg_idx reg_val' lines (# comments)")
+    p.set_defaults(fn=cmd_send_cmd)
 
     p = sub.add_parser("mcp", help="run the MCP recon server")
     p.set_defaults(fn=cmd_mcp)

@@ -4,3 +4,4 @@ from .pcap import PcapRecord, PcapWriter, read_pcap  # noqa: F401
 from .sniffer import PacketEvent, Sniffer, SnifferConfig, sniff_file  # noqa: F401
 from .sources import array_source, iq_file_source, stdin_source  # noqa: F401
 from .sources import ila_csv_source  # noqa: F401
+from .control import ControlServer, encode_reg_writes, parse_register_file, send_command  # noqa: F401

@@ -73,12 +73,14 @@ class Sniffer:
         pcap: PcapWriter | None = None,
         text_fh=None,
         quiet_text: bool = False,
+        control=None,
     ):
         self.cfg = config
         self.ndjson = ndjson
         self.pcap = pcap
         self.text_fh = text_fh or sys.stdout
         self.quiet_text = quiet_text
+        self.control = control          # stream.control.ControlServer
         self.pkt_count = 0
         self.packets: list[PacketEvent] = []
         self.channel = config.channel
@@ -98,6 +100,11 @@ class Sniffer:
         it = OverlapBlockIterator(source, self.cfg.sps, lag=1, scan_len=self.cfg.scan_len)
         try:
             for block in it:
+                if self.control is not None:
+                    # live retune between blocks (ble_send_cmd parity):
+                    # the block boundary is this runtime's analog of the
+                    # board's register-write instant
+                    self.control.apply(self)
                 self._process_block(block, it)
         finally:
             if self.ndjson:
@@ -219,6 +226,20 @@ class Sniffer:
                                      header.llid.display_name,
                                      header.nesn, header.sn, header.md,
                                      header.payload_len, payload_bytes, pkt.rssi_dbm)
+
+    # ------------------------------------------------------------------
+    def apply_control_registers(self, writes):
+        """Register map of ble_send_cmd.c:340-363; unknown registers are
+        ignored here (the ControlServer retains them)."""
+        from .control import REG_ACCESS_ADDR, REG_CHANNEL, REG_CRC_INIT
+
+        for idx, val in writes:
+            if idx == REG_CHANNEL:
+                self.channel = int(val)
+            elif idx == REG_ACCESS_ADDR:
+                self.access_addr = int(val)
+            elif idx == REG_CRC_INIT:
+                self.crc_init_internal = C.crc_init_reorder(int(val))
 
     # ------------------------------------------------------------------
     def _sync_hop_state(self):

@@ -188,6 +188,25 @@ class WidebandSniffer:
         """Wideband samples to feed per process() call."""
         return (self.cfg.scan_len_ch + self.halo_ch) * D
 
+    def apply_control_registers(self, writes):
+        """Live re-key from a stream.control.ControlServer: the AA / CRC
+        registers (ble_send_cmd.c:340-363) re-key every DATA channel —
+        the wideband receiver hears all 40 channels at once, so the
+        reference's channel-retune register is a no-op here."""
+        from ..stream.control import REG_ACCESS_ADDR, REG_CRC_INIT
+
+        aa_rows = np.asarray(self.aa_rows).copy()
+        crc_rows = np.asarray(self.crc_inits).copy()
+        adv = np.asarray(self.adv_flags)
+        for idx, val in writes:
+            if idx == REG_ACCESS_ADDR:
+                bits = B.hex_to_bits(int(val).to_bytes(4, "little").hex())
+                aa_rows[~adv] = bits
+            elif idx == REG_CRC_INIT:
+                crc_rows[~adv] = C.crc_init_reorder(int(val))
+        self.aa_rows = jnp.asarray(aa_rows)
+        self.crc_inits = jnp.asarray(crc_rows)
+
     def process(self, i_wb, q_wb) -> list[WidebandPacket]:
         """Process one wideband block of wb_block_len samples. Successive
         calls must overlap by halo_ch*D wideband samples (the stream
