@@ -33,54 +33,70 @@ def _decode_capture(iq_file: str, fmt: str, channel: int, sps: int,
     return [packet_event_to_model(e) for e in events if e.header is not None]
 
 
+# -- tool implementations -------------------------------------------------
+# Plain functions so they are directly callable (and testable) without the
+# FastMCP transport; build_server() only registers them.
+
+
+def ble_quickscan(iq_file: str, fmt: str = "i16", channel: int = 37,
+                  sps: int = 4, top_n: int = 15) -> dict[str, Any]:
+    """Decode a capture and summarize the devices seen."""
+    from . import recon
+
+    events = _decode_capture(iq_file, fmt, channel, sps)
+    return recon.quickscan(events, top=top_n).model_dump(exclude_none=True)
+
+
+def ble_profile(adv_a: str, iq_file: str | None = None, fmt: str = "i16",
+                channel: int = 37, sps: int = 4,
+                pcap: str | None = None) -> dict[str, Any]:
+    """Profile one device from a capture file or pcap."""
+    from . import recon
+
+    if pcap:
+        return recon.profile(pcap, adv_a).model_dump(exclude_none=True)
+    events = _decode_capture(iq_file, fmt, channel, sps)
+    return recon.profile(events, adv_a).model_dump(exclude_none=True)
+
+
+def ble_capture_to_pcap(iq_file: str, output_path: str, fmt: str = "i16",
+                        channel: int = 37, sps: int = 4,
+                        adv_a: str | None = None) -> dict[str, Any]:
+    """Decode a capture to a Wireshark-compatible pcap (DLT 256)."""
+    Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+    events = _decode_capture(iq_file, fmt, channel, sps,
+                             adv_a_filter=adv_a, pcap_out=output_path)
+    return {
+        "pcap": output_path,
+        "n_packets": len(events),
+        "n_crc_ok": sum(1 for e in events if e.crc_ok),
+    }
+
+
+def ble_diff_pcaps(pcap_a: str, pcap_b: str) -> dict[str, Any]:
+    """What changed between two pcaps."""
+    from . import recon
+
+    return recon.diff(pcap_a, pcap_b).model_dump(exclude_none=True)
+
+
+def ble_payload_entropy(pcap: str, adv_a: str) -> dict[str, Any]:
+    """Which manufacturer-data bytes vary: counter, random, static."""
+    from . import recon
+
+    return recon.payload_entropy(pcap, adv_a).model_dump(exclude_none=True)
+
+
+TOOLS = (ble_quickscan, ble_profile, ble_capture_to_pcap, ble_diff_pcaps,
+         ble_payload_entropy)
+
+
 def build_server():
     from mcp.server.fastmcp import FastMCP
 
-    from . import recon
-
     mcp = FastMCP("btle-tpu")
-
-    @mcp.tool()
-    def ble_quickscan(iq_file: str, fmt: str = "i16", channel: int = 37,
-                      sps: int = 4, top_n: int = 15) -> dict[str, Any]:
-        """Decode a capture and summarize the devices seen."""
-        events = _decode_capture(iq_file, fmt, channel, sps)
-        return recon.quickscan(events, top=top_n).model_dump(exclude_none=True)
-
-    @mcp.tool()
-    def ble_profile(adv_a: str, iq_file: str | None = None, fmt: str = "i16",
-                    channel: int = 37, sps: int = 4,
-                    pcap: str | None = None) -> dict[str, Any]:
-        """Profile one device from a capture file or pcap."""
-        if pcap:
-            return recon.profile(pcap, adv_a).model_dump(exclude_none=True)
-        events = _decode_capture(iq_file, fmt, channel, sps)
-        return recon.profile(events, adv_a).model_dump(exclude_none=True)
-
-    @mcp.tool()
-    def ble_capture_to_pcap(iq_file: str, output_path: str, fmt: str = "i16",
-                            channel: int = 37, sps: int = 4,
-                            adv_a: str | None = None) -> dict[str, Any]:
-        """Decode a capture to a Wireshark-compatible pcap (DLT 256)."""
-        Path(output_path).parent.mkdir(parents=True, exist_ok=True)
-        events = _decode_capture(iq_file, fmt, channel, sps,
-                                 adv_a_filter=adv_a, pcap_out=output_path)
-        return {
-            "pcap": output_path,
-            "n_packets": len(events),
-            "n_crc_ok": sum(1 for e in events if e.crc_ok),
-        }
-
-    @mcp.tool()
-    def ble_diff_pcaps(pcap_a: str, pcap_b: str) -> dict[str, Any]:
-        """What changed between two pcaps."""
-        return recon.diff(pcap_a, pcap_b).model_dump(exclude_none=True)
-
-    @mcp.tool()
-    def ble_payload_entropy(pcap: str, adv_a: str) -> dict[str, Any]:
-        """Which manufacturer-data bytes vary: counter, random, static."""
-        return recon.payload_entropy(pcap, adv_a).model_dump(exclude_none=True)
-
+    for tool in TOOLS:
+        mcp.tool()(tool)
     return mcp
 
 

@@ -1,9 +1,10 @@
 """Vendor identification: BLE manufacturer IDs and MAC OUI prefixes.
 
-The reference bundles an oui.tsv.gz snapshot; we ship a compact built-in
-table of the vendors that actually appear in BLE scans and support an
-optional external TSV (``BTLE_OUI_TSV`` env or ``load_oui_tsv``) for full
-coverage.
+Resolution order: the bundled full IEEE registry snapshot
+(``data/oui.tsv.gz``, ~39k assignments, built by tools/build_oui_db.py —
+the counterpart of the reference's bundled database, btle_cli
+oui.py:1-54), overlaid by the compact built-in table below, overlaid by
+an optional external TSV (``BTLE_OUI_TSV`` env or ``load_oui_tsv``).
 """
 
 from __future__ import annotations
@@ -65,9 +66,15 @@ def manufacturer_name(mid: int) -> Optional[str]:
     return MANUFACTURER_IDS.get(mid)
 
 
+_BUNDLED_DB = os.path.join(os.path.dirname(__file__), "data", "oui.tsv.gz")
+
+
 @lru_cache(maxsize=1)
 def _oui_table() -> dict[str, str]:
-    table = dict(_BUILTIN_OUI)
+    table: dict[str, str] = {}
+    if os.path.exists(_BUNDLED_DB):
+        table.update(_load_tsv(_BUNDLED_DB))
+    table.update(_BUILTIN_OUI)
     path = os.environ.get("BTLE_OUI_TSV")
     if path and os.path.exists(path):
         table.update(_load_tsv(path))

@@ -169,3 +169,42 @@ class TestSlotExhaustion:
         assert key(res_small) == key(res_big)
         assert len(res_small.packets) > 3
         assert res_small.consumed == res_big.consumed
+
+
+class TestBundledOuiRegistry:
+    """The bundled IEEE registry (data/oui.tsv.gz): lookup parity with
+    the reference's snapshot on a sample of resolvable prefixes."""
+
+    def test_bundled_db_loaded(self):
+        from btle_tpu.cli.vendors import _oui_table
+
+        _oui_table.cache_clear()
+        table = _oui_table()
+        assert len(table) > 30_000
+
+    def test_lookup_parity_sample(self):
+        import gzip
+
+        from btle_tpu.cli.vendors import oui_lookup
+
+        ref = {}
+        path = ("/root/reference/host/python/btle_cli/src/btle_cli/"
+                "data/oui.tsv.gz")
+        with gzip.open(path, "rt", errors="replace") as fh:
+            for line in fh:
+                p, v = line.rstrip("\n").split("\t", 1)
+                ref[p] = v
+        sample = sorted(ref)[:: max(1, len(ref) // 50)][:50]
+        for prefix in sample:
+            mac = ":".join(prefix[k:k + 2] for k in (0, 2, 4)) + ":00:00:00"
+            got = oui_lookup(mac)
+            assert got is not None, prefix
+            # the built-in overlay may shorten a few big-name entries;
+            # otherwise names must match the registry snapshot
+            assert got == ref[prefix] or got.split()[0].lower() in \
+                ref[prefix].lower(), (prefix, got, ref[prefix])
+
+    def test_unknown_prefix_none(self):
+        from btle_tpu.cli.vendors import oui_lookup
+
+        assert oui_lookup("ff:ff:ff:00:00:00") is None
