@@ -132,3 +132,121 @@ def dump_rx_vectors(i, q, out_dir: str, channel: int = 37, sps: int = 8,
                 fh.write(f"{byte:02x}\n")
         out["pdu_octets_ref"] = octet_path
     return out
+
+
+# --------------------------------------------------------------------------
+# Complete per-module handoff: one file set per reference testbench
+# --------------------------------------------------------------------------
+
+# Every self-checking testbench of the reference chip (verilog/*_tb.v,
+# SURVEY.md §4) mapped to the golden-chain signals its DUT consumes and
+# produces. dump_module_vectors() emits one input/ref-output file set per
+# row; docs/FORMATS.md documents the mapping.
+MODULE_TBS = (
+    "crc24",
+    "scramble",
+    "bit_repeat_upsample",
+    "gauss_filter",
+    "vco",
+    "gfsk_modulation",
+    "btle_tx",
+    "gfsk_demodulation",
+    "search_unique_bit_sequence",
+    "btle_rx_core",
+    "btle_rx",
+    "btle_controller",
+)
+
+
+def _writes(out_dir, prefix, arrays, fmt="%d"):
+    os.makedirs(out_dir, exist_ok=True)
+    out = {}
+    for role, arr in arrays.items():
+        path = os.path.join(out_dir, f"{prefix}_{role}.txt")
+        np.savetxt(path, np.asarray(arr, dtype=np.int64), fmt=fmt)
+        out[role] = path
+    return out
+
+
+def dump_module_vectors(pdu_bits, out_dir: str, channel: int = 37,
+                        crc_init_hex: str = "555555",
+                        access_address_hex: str = "D6BE898E",
+                        sps: int = 8) -> dict:
+    """One input/ref-output vector set per reference testbench.
+
+    Returns {module: {role: path}} and writes vector_manifest.json; the
+    TX intermediates come from the python-flavor fixed-point chain
+    (btlelib semantics — what the Verilog TBs consume), the RX side from
+    the golden receiver on the clean modulated signal.
+    """
+    import json
+
+    pdu_bits = np.asarray(pdu_bits, dtype=np.int8)
+    v = tx_stage_vectors(pdu_bits, channel=channel,
+                         crc_init_hex=crc_init_hex,
+                         access_address_hex=access_address_hex, sps=sps)
+    cos_i8, sin_i8, freq_words = G.gfsk_modulate_python(v.phy_bits, sps)
+    res = G.btle_rx(cos_i8.astype(np.int16), sin_i8.astype(np.int16),
+                    channel, crc_init_hex=crc_init_hex,
+                    access_address_hex=access_address_hex, sps=sps)
+    p = res.best_phase
+    aa_bits = B.hex_to_bits(access_address_hex)
+    hit_k = G.search_bit_sequence(res.bits_all_phases[p], aa_bits)
+
+    modules = {
+        # TX bit chain
+        "crc24": {"input_bits": v.info_bits[40:],
+                  "output_ref": v.info_crc_bits[40:]},
+        "scramble": {"input_bits": v.info_crc_bits[40:],
+                     "output_ref": v.phy_bits[40:]},
+        # TX DSP chain (python-flavor: NRZ repeat, int8 taps, table VCO)
+        "bit_repeat_upsample": {"input_bits": v.phy_bits,
+                                "output_ref": np.repeat(
+                                    v.phy_bits * 2 - 1, sps)},
+        "gauss_filter": {"input_nrz": np.repeat(v.phy_bits * 2 - 1, sps),
+                         "output_ref": freq_words},
+        "vco": {"input_freq_words": freq_words,
+                "output_cos_ref": cos_i8, "output_sin_ref": sin_i8,
+                "table_cos": G.sin_cos_tables(64, sps)[0],
+                "table_sin": G.sin_cos_tables(64, sps)[1]},
+        "gfsk_modulation": {"input_bits": v.phy_bits,
+                            "output_i_ref": cos_i8, "output_q_ref": sin_i8},
+        "btle_tx": {"input_pdu_bits": pdu_bits,
+                    "output_i_ref": cos_i8, "output_q_ref": sin_i8},
+        # RX chain (selected phase = what btle_rx_core decodes)
+        "gfsk_demodulation": {"input_i": cos_i8.astype(np.int16)[p::sps],
+                              "input_q": sin_i8.astype(np.int16)[p::sps],
+                              "output_bits_ref": res.bits_all_phases[p]},
+        "search_unique_bit_sequence": {
+            "input_bits": res.bits_all_phases[p],
+            "input_pattern": aa_bits,
+            "output_position_ref": np.array([hit_k])},
+        "btle_rx_core": {"input_i": cos_i8.astype(np.int16)[p::sps],
+                         "input_q": sin_i8.astype(np.int16)[p::sps],
+                         "output_pdu_octets_ref": B.bits_to_bytes(res.pdu_bits),
+                         "output_crc_ok_ref": np.array([int(res.crc_ok)])},
+        "btle_rx": {"input_i": cos_i8.astype(np.int16),
+                    "input_q": sin_i8.astype(np.int16),
+                    "output_best_phase_ref": np.array([p]),
+                    "output_payload_len_ref": np.array([res.payload_len]),
+                    "output_crc_ok_ref": np.array([int(res.crc_ok)])},
+        # full chain: same end-to-end signals, plus the config manifest
+        "btle_controller": {"input_pdu_bits": pdu_bits,
+                            "output_pdu_octets_ref":
+                                B.bits_to_bytes(res.pdu_bits),
+                            "output_crc_ok_ref":
+                                np.array([int(res.crc_ok)])},
+    }
+    out = {name: _writes(out_dir, name, arrays)
+           for name, arrays in modules.items()}
+    config = {
+        "channel": channel, "sps": sps, "crc_init": crc_init_hex,
+        "access_address": access_address_hex,
+        "pdu_hex": B.bits_to_bytes(pdu_bits).tobytes().hex(),
+        "modules": {k: sorted(p_.keys()) for k, p_ in out.items()},
+    }
+    cfg_path = os.path.join(out_dir, "vector_manifest.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(config, fh, indent=1)
+    out["btle_controller"]["config"] = cfg_path
+    return out

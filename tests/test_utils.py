@@ -80,3 +80,63 @@ class TestFoAlignment:
         fo = instantaneous_freq(i, q, 8)
         assert 0.2 < np.max(fo) < 0.3
         assert -0.3 < np.min(fo) < -0.2
+
+
+class TestModuleVectorHandoff:
+    """The complete per-module RTL vector handoff: one emitted file set
+    per reference testbench (verilog/*_tb.v, SURVEY.md §4), format- and
+    consistency-checked."""
+
+    def test_all_module_sets_emitted(self, tmp_path):
+        from btle_tpu.spec import bits as B
+        from btle_tpu.utils.vectors import MODULE_TBS, dump_module_vectors
+
+        out = dump_module_vectors(
+            B.hex_to_bits("422506050403020119095344"), str(tmp_path), sps=8)
+        assert set(out) == set(MODULE_TBS)
+        for mod, files in out.items():
+            for role, path in files.items():
+                assert (tmp_path / path.split("/")[-1]).exists(), (mod, role)
+
+    def test_chain_consistency(self, tmp_path):
+        import numpy as np
+
+        from btle_tpu.spec import bits as B
+        from btle_tpu.utils.vectors import dump_module_vectors
+
+        sps = 8
+        out = dump_module_vectors(
+            B.hex_to_bits("4225060504030201aabbccdd"), str(tmp_path), sps=sps)
+
+        def load(mod, role):
+            return np.loadtxt(out[mod][role], dtype=np.int64, ndmin=1)
+
+        # upsampler: sps x input length, values are NRZ
+        up_in = load("bit_repeat_upsample", "input_bits")
+        up_out = load("bit_repeat_upsample", "output_ref")
+        assert len(up_out) == sps * len(up_in)
+        assert set(np.unique(up_out)) <= {-1, 1}
+        # gauss filter consumes the upsampler output
+        np.testing.assert_array_equal(load("gauss_filter", "input_nrz"), up_out)
+        # vco consumes the filter output; int8 cos/sin out
+        np.testing.assert_array_equal(load("vco", "input_freq_words"),
+                                      load("gauss_filter", "output_ref"))
+        cos = load("vco", "output_cos_ref")
+        assert cos.min() >= -128 and cos.max() <= 127
+        # modulator refs equal the end-to-end tx refs
+        np.testing.assert_array_equal(load("gfsk_modulation", "output_i_ref"),
+                                      load("btle_tx", "output_i_ref"))
+        # CRC module: output extends input by 24 bits
+        assert len(load("crc24", "output_ref")) == \
+            len(load("crc24", "input_bits")) + 24
+        # AA search: the found position is a real match of the pattern
+        bits = load("search_unique_bit_sequence", "input_bits")
+        pattern = load("search_unique_bit_sequence", "input_pattern")
+        k = int(load("search_unique_bit_sequence", "output_position_ref")[0])
+        np.testing.assert_array_equal(bits[k:k + 32], pattern)
+        # rx core: decode verdict on the clean loopback is CRC OK and the
+        # recovered octets match the controller set
+        assert load("btle_rx_core", "output_crc_ok_ref")[0] == 1
+        np.testing.assert_array_equal(
+            load("btle_rx_core", "output_pdu_octets_ref"),
+            load("btle_controller", "output_pdu_octets_ref"))

@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from btle_tpu.golden import model as G
 from btle_tpu.spec import bits as B
 from btle_tpu.utils import dump_rx_vectors, dump_tx_vectors
+from btle_tpu.utils.vectors import dump_module_vectors
 
 
 def main():
@@ -37,6 +38,9 @@ def main():
     ap.add_argument("--snr", type=float, default=None)
     ap.add_argument("--ppm", type=float, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--modules", action="store_true",
+                    help="also emit one vector set per reference testbench "
+                         "(all 11 verilog/*_tb.v consumers; docs/FORMATS.md)")
     args = ap.parse_args()
 
     pdu_bits = B.hex_to_bits(args.pdu)
@@ -66,6 +70,12 @@ def main():
         "snr_db": args.snr, "ppm": args.ppm,
         "tx_files": tx_files, "rx_files": rx_files,
     }
+    if args.modules:
+        module_files = dump_module_vectors(
+            pdu_bits, args.out, channel=args.channel, sps=args.sps,
+            crc_init_hex=args.crc_init, access_address_hex=args.access_addr)
+        manifest["module_files"] = {
+            mod: files for mod, files in module_files.items()}
     with open(os.path.join(args.out, "btle_config.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)
     print(f"wrote {len(tx_files) + len(rx_files) + 3} vector files to {args.out}")
