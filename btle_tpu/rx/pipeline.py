@@ -131,13 +131,14 @@ def decode_block(
     # the first max_candidates hits without recompiling
     hit = hit & (jnp.arange(npos, dtype=jnp.int32) >= jnp.int32(min_pos))
     big = jnp.int32(np.iinfo(np.int32).max // 2)
-    # earliest-K hit positions WITHOUT a full sort: the k-th hit's rank is
-    # cumsum(hit)-1, so one scatter (dropping ranks >= K) collects them in
-    # order — O(n) instead of O(n log n) over multi-million-sample blocks
-    rank = jnp.cumsum(hit.astype(jnp.int32)) - 1
-    scatter_idx = jnp.where(hit & (rank < max_candidates), rank, max_candidates)
-    top = jnp.full(max_candidates, big, jnp.int32).at[scatter_idx].set(
-        jnp.arange(npos, dtype=jnp.int32), mode="drop")
+    # earliest-K hit positions: mask misses to +BIG and take the K
+    # smallest via top_k of the negation (ascending = stream order).
+    # top_k lowers to a vectorized partial sort on TPU; the previous
+    # cumsum-rank + scatter formulation serialized in the scatter and
+    # dominated the whole wideband block decode (~30 ms/block measured).
+    masked = jnp.where(hit, jnp.arange(npos, dtype=jnp.int32), big)
+    neg_top, _ = jax.lax.top_k(-masked, max_candidates)
+    top = -neg_top
     valid = top < big
     pos = jnp.where(valid, top, 0)
 

@@ -66,6 +66,8 @@ def _conv_kernel(num_taps: int) -> np.ndarray:
     Cross-correlation form: out_p[k] = sum_w K[p, w] * x[kD + w]; we want
     u_p[k] = sum_{tau = p mod M} h[tau] * x[kD - tau + (L-1)] after
     pre-padding x by L-1, i.e. K[p, w] = h[L-1-w] * [L-1-w = p mod M].
+    (Reference formulation, kept as the numerical oracle for the grouped
+    polyphase kernel below.)
     """
     h = prototype_filter(num_taps)
     L = len(h)
@@ -76,6 +78,53 @@ def _conv_kernel(num_taps: int) -> np.ndarray:
         sel = (tau % M) == p
         k[p, 0, sel] = h[tau[sel]]
     return k
+
+
+@lru_cache(maxsize=None)
+def _poly_kernel(num_taps: int):
+    """Grouped polyphase kernel: the L-tap strided conv re-expressed over
+    D=20 decimated streams so the compute is the TRUE polyphase work
+    (M x L/M MACs per output frame) instead of an L-wide dense window.
+
+    Derivation: with a 20·ceil(L/20)=L-sample left pad, output
+    u_p[k] = sum_r h[p+40r] · x[20k + L - p - 40r]. Writing the padded
+    stream as frames x20[j, c] = x[20j + c], every branch p reads ONE
+    column c(p) with taps at window offsets s = base(p) - 2r:
+        p = 0:      c = 0,      base = 64
+        p in 1..19: c = 20 - p, base = 63
+        p = 20:     c = 0,      base = 63
+        p in 21..39:c = 40 - p, base = 62
+    Each column feeds exactly two branches -> a feature_group_count = 20
+    conv with kernel (M, 1, L/20 + 1). Returns (kernel, row_of_p) where
+    conv output row row_of_p[p] is branch p.
+    """
+    h = prototype_filter(num_taps)
+    L = len(h)
+    width = L // D + 1
+    taps_per = L // M
+    kern = np.zeros((M, 1, width), dtype=np.float32)
+    row_of_p = np.zeros(M, dtype=np.int32)
+    slot_used: dict[int, int] = {}
+    for p in range(M):
+        if p % (D) == 0:
+            c = 0
+        elif p <= D - 1:
+            c = D - p
+        else:
+            c = 2 * D - p
+        if p == 0:
+            base = width - 1
+        elif p <= D - 1 or p == D:
+            base = width - 2
+        else:
+            base = width - 3
+        slot = slot_used.get(c, 0)
+        slot_used[c] = slot + 1
+        j = 2 * c + slot
+        row_of_p[p] = j
+        for r in range(taps_per):
+            kern[j, 0, base - 2 * r] = h[p + M * r]
+    return kern, row_of_p
 
 
 @lru_cache(maxsize=None)
@@ -102,14 +151,23 @@ def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = Fa
     """
     L = num_taps
     x = jnp.stack([i.astype(jnp.float32), q.astype(jnp.float32)])  # (2, N)
-    if not has_context:
-        x = jnp.pad(x, ((0, 0), (L - 1, 0)))
-    lhs = x[:, None, :]                       # (batch=2, feat=1, W)
-    rhs = jnp.asarray(_conv_kernel(num_taps))  # (M, 1, L)
+    # left pad to exactly L (one more than the filter history; the extra
+    # sample is never read — it only makes the length frame-aligned),
+    # right pad to a whole frame
+    left = L if not has_context else 1
+    n_all = left + x.shape[1]
+    right = (-n_all) % D
+    x = jnp.pad(x, ((0, 0), (left, right)))
+    frames = x.reshape(2, x.shape[1] // D, D)          # (2, J, 20)
+    lhs = jnp.swapaxes(frames, 1, 2)                   # (2, 20, J)
+    kern, row_of_p = _poly_kernel(num_taps)
     u = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(D,), padding="VALID",
+        lhs, jnp.asarray(kern), window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        feature_group_count=D,
         preferred_element_type=jnp.float32,
-    )                                         # (2, M, K)
+    )                                                  # (2, M, K)
+    u = jnp.take(u, jnp.asarray(row_of_p), axis=1)
     u_i, u_q = u[0], u[1]
 
     er, ei = _dft_matrix()
