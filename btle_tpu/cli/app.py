@@ -46,6 +46,11 @@ def _add_rx_args(p):
     p.add_argument("--control-port", type=int, default=None,
                    help="UDP port for live retune commands (see send-cmd; "
                         "0 = pick a free port)")
+    p.add_argument("--rotate", default=None, metavar="CH,CH,...",
+                   help="dwell-rotate through these ADV channels "
+                        "(reference scan's 37,38,39 rotation)")
+    p.add_argument("--dwell-ms", type=int, default=200,
+                   help="dwell per channel when rotating (stream time)")
 
 
 def _build_sniffer(args):
@@ -77,6 +82,9 @@ def _build_sniffer(args):
         raw=args.raw,
         rssi=args.rssi,
         verbose=getattr(args, "verbose", False),
+        rotate_channels=(tuple(int(c) for c in args.rotate.split(","))
+                         if getattr(args, "rotate", None) else ()),
+        dwell_ms=getattr(args, "dwell_ms", 200),
     )
     if args.pcap == "-" and args.json:
         raise SystemExit("decode: --json and --pcap - both write stdout; "

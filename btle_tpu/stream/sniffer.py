@@ -48,6 +48,11 @@ class SnifferConfig:
     rssi: bool = False
     verbose: bool = False
     scan_len: int = DEFAULT_SCAN_LEN
+    # ADV dwell rotation (the reference CLI scan's 37->38->39 rotate over
+    # a live radio, btle_cli cli.py:115-178): retune through these
+    # channels every dwell_ms of stream time. Mutually exclusive with hop.
+    rotate_channels: tuple = ()
+    dwell_ms: int = 200
 
 
 @dataclass
@@ -88,6 +93,12 @@ class Sniffer:
         self.crc_init_internal = C.crc_init_reorder(config.crc_init)
         self.hop_tracker = HopTracker() if config.hop else None
         self._last_pkt_us = 0
+        if config.rotate_channels and config.hop:
+            raise ValueError("rotate_channels and hop are mutually exclusive")
+        self._rotate_idx = 0
+        self._dwell_start_us = 0
+        if config.rotate_channels:
+            self.channel = config.rotate_channels[0]
 
     # ------------------------------------------------------------------
     def run(self, source):
@@ -143,10 +154,27 @@ class Sniffer:
                     file=self.text_fh,
                 )
         it.consume_to(block.offset + res.consumed)
+        end_us = (block.offset + block.scan_len) // cfg.sps
         if self.hop_tracker:
-            end_us = (block.offset + block.scan_len) // cfg.sps
             self.hop_tracker.on_tick(end_us)
             self._sync_hop_state()
+        elif cfg.rotate_channels:
+            self._maybe_rotate(end_us)
+
+    # ------------------------------------------------------------------
+    def _maybe_rotate(self, now_us: int):
+        """Dwell rotation on the sample clock: like the reference scan's
+        rotating capture, but the retune instant is a block boundary."""
+        if now_us - self._dwell_start_us < self.cfg.dwell_ms * 1000:
+            return
+        self._dwell_start_us = now_us
+        self._rotate_idx = (self._rotate_idx + 1) % len(self.cfg.rotate_channels)
+        self.channel = self.cfg.rotate_channels[self._rotate_idx]
+        if self.ndjson:
+            from ..spec.channels import channel_to_freq_hz
+
+            self.ndjson.status(time.time(), "retune", "file", self.channel,
+                               channel_to_freq_hz(self.channel))
 
     # ------------------------------------------------------------------
     def _handle_packet(self, pkt, now_us: int, channel: int | None = None,

@@ -144,3 +144,40 @@ class TestLiveRetune:
         ok = [e for e in events if e.crc_ok]
         assert len(ok) == 1
         assert bytes(ok[0].payload_bytes) == bytes(pay)
+
+
+class TestDwellRotation:
+    def test_rotate_scan_decodes_all_three_adv_channels(self, rng):
+        """The reference CLI scan rotates 37->38->39 with a dwell on a
+        live radio (btle_cli cli.py:115-178); here the rotation runs on
+        the stream clock: one packet per channel, each placed inside the
+        dwell window where its channel is active, all three decode."""
+        sps = 4
+        dwell_ms = 4            # 4 ms = 16000 samples at 4 Msps
+        scan_len = 4096
+        dwell_samples = dwell_ms * 1000 * sps // 1
+        total = 4 * dwell_samples
+        i = np.zeros(total, np.int16)
+        q = np.zeros(total, np.int16)
+        payloads = {}
+        for k, ch in enumerate((37, 38, 39)):
+            pay = rng.integers(0, 256, 8, dtype=np.uint8)
+            payloads[ch] = pay
+            pi, pq = _packet_iq(ch, pay, sps=sps)
+            # middle of dwell window k (rotation fires at block edges,
+            # so keep clear of the window boundaries)
+            at = k * dwell_samples + dwell_samples // 2
+            i[at:at + len(pi)] = pi
+            q[at:at + len(pq)] = pq
+
+        cfg = SnifferConfig(rotate_channels=(37, 38, 39), dwell_ms=dwell_ms,
+                            scan_len=scan_len)
+        sn = Sniffer(cfg, quiet_text=True)
+        events = sn.run(iter([(i, q)]))
+        ok = [(e.channel, bytes(e.payload_bytes)) for e in events if e.crc_ok]
+        assert ok == [(ch, bytes(payloads[ch])) for ch in (37, 38, 39)]
+
+    def test_rotate_and_hop_exclusive(self):
+        with pytest.raises(ValueError):
+            Sniffer(SnifferConfig(rotate_channels=(37, 38), hop=True),
+                    quiet_text=True)
