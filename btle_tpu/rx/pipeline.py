@@ -52,17 +52,10 @@ def scan_block(i, q, aa_bits, aa_mask, sps: int, lag: int):
     return counts == n_mask, bits
 
 
-def _crc_prefix_states(pkt_bytes: jnp.ndarray, init: jnp.ndarray, table: jnp.ndarray):
-    """states_after[k] = CRC state after bytes 0..k (reflected table form,
-    btle_rx.c:1211-1222), as a lax.scan of gather+xor."""
+from ..spec.crc24 import linear_crc_matrices
 
-    def step(state, byte):
-        idx = jnp.bitwise_and(jnp.bitwise_xor(state, byte), 0xFF)
-        nxt = jnp.bitwise_xor(table[idx], jnp.right_shift(state, 8))
-        return nxt, nxt
-
-    _, states = jax.lax.scan(step, init, pkt_bytes.astype(jnp.int32))
-    return states
+_CRC_V, _CRC_MINIT = linear_crc_matrices(MAX_PDU_CRC_BYTE)
+_STATE_WEIGHTS = (2.0 ** np.arange(24)).astype(np.float32)
 
 
 def _decode_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
@@ -72,6 +65,12 @@ def _decode_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
     ``crc_match`` is the raw CRC comparison at the clamped length; callers
     combine it with len_ok/validity as their semantics require (the C tool
     gates on ADV length, the golden model does not).
+
+    The CRC prefix states use the GF(2)-linear form of the reference's
+    table update (btle_rx.c:1211-1222): all 42 prefix states are one
+    0/1 matrix product, so a vmap over candidates lowers to a single MXU
+    matmul instead of a 42-step scan of per-lane table gathers.
+    ``table`` is unused (kept for call-site stability).
     """
     m = bits.shape[0]
     idx = pos + AA_BITS * sps + jnp.arange(MAX_PDU_CRC_BITS, dtype=jnp.int32) * sps
@@ -89,7 +88,15 @@ def _decode_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
     len_ok = jnp.where(adv_flag, (plen >= 6) & (plen <= 37), plen <= 31)
     plen_c = jnp.clip(plen, 0, 37)
 
-    states = _crc_prefix_states(pkt_bytes, crc_init, table)
+    # parity counts are <= 360 so f32 accumulation is exact
+    contrib = jnp.dot(dew.astype(jnp.float32), jnp.asarray(_CRC_V))
+    init_bits = ((crc_init >> jnp.arange(24)) & 1).astype(jnp.float32)
+    init_contrib = jnp.dot(init_bits, jnp.asarray(_CRC_MINIT))
+    state_bits = (contrib + init_contrib).astype(jnp.int32) & 1
+    states = jnp.dot(
+        state_bits.reshape(MAX_PDU_CRC_BYTE, 24).astype(jnp.float32),
+        jnp.asarray(_STATE_WEIGHTS),
+    ).astype(jnp.int32)          # states[k] = CRC after bytes 0..k
     crc_state = states[plen_c + 1]  # after header(2) + payload(plen) bytes
     crc_rcv = (
         pkt_bytes[plen_c + 2]

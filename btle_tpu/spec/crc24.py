@@ -104,3 +104,43 @@ def crc_to_bytes(crc: int) -> np.ndarray:
     """Table-convention CRC -> the 3 octets as transmitted
     (btle_tx.c:1897-1900)."""
     return np.array([crc & 0xFF, (crc >> 8) & 0xFF, (crc >> 16) & 0xFF], dtype=np.uint8)
+
+
+def _byte_step(state: int, byte: int) -> int:
+    """One reflected table update (btle_rx.c:1211-1222)."""
+    return int(CRC24_TABLE[(state ^ byte) & 0xFF]) ^ (state >> 8)
+
+
+def linear_crc_matrices(max_bytes: int = 42):
+    """GF(2)-linear form of the prefix-state table CRC.
+
+    The table update is affine over GF(2) in (state, data bits), so the
+    state after every prefix length is one bit-matrix product — on TPU
+    this replaces a 42-step scan of table gathers with a single MXU
+    matmul over the candidate batch.
+
+    Returns (V, Minit), float32 0/1 matrices:
+      V[j, (L-1)*24 + t]     — data bit j's contribution to state bit t
+                               after L bytes (bit j = LSB-first bit k of
+                               byte j//8; zero for j >= 8L)
+      Minit[b, (L-1)*24 + t] — init-state bit b's contribution
+    so state_bits(L) = (data_bits @ V + init_bits @ Minit) mod 2 at
+    column block L-1, for L = 1..max_bytes.
+    """
+    nbits = 8 * max_bytes
+    V = np.zeros((nbits, max_bytes * 24), dtype=np.float32)
+    for j in range(nbits):
+        kb, k = divmod(j, 8)
+        state = 0
+        for L in range(1, max_bytes + 1):
+            state = _byte_step(state, (1 << k) if (L - 1) == kb else 0)
+            for t in range(24):
+                V[j, (L - 1) * 24 + t] = (state >> t) & 1
+    Minit = np.zeros((24, max_bytes * 24), dtype=np.float32)
+    for b in range(24):
+        state = 1 << b
+        for L in range(1, max_bytes + 1):
+            state = _byte_step(state, 0)
+            for t in range(24):
+                Minit[b, (L - 1) * 24 + t] = (state >> t) & 1
+    return V, Minit
