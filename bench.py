@@ -6,9 +6,18 @@ Prints one JSON line:
 
 The measured program is the full per-chip receive path of BASELINE
 config 4: 80 Msps wideband IQ -> polyphase channelizer -> 40 parallel
-demod/AA-correlate/de-whiten/CRC chains -> candidate arrays. Real time is
-80 Msps; the baseline target is 10x real time (800 Msps), so
+demod/AA-correlate/de-whiten/CRC chains -> candidate arrays. Real time
+is 80 Msps; the baseline target is 10x real time (800 Msps), so
 vs_baseline >= 1.0 means the target is met.
+
+Measurement honesty (round-2 fix): on the tunneled device,
+jax.block_until_ready can return before execution completes, which made
+round-1 numbers (10-47 Gsps) measure the dispatch rate, not the device.
+Every block's FULL output tree is therefore checksummed inside the
+compiled program and the per-trial batch is reduced to ONE scalar whose
+host fetch forces every underlying execution; input blocks are distinct
+and generated on device (a live front-end DMAs blocks into device
+memory; host<->device transfer is not the metric).
 """
 
 import json
@@ -32,7 +41,7 @@ def main():
     scan_len_ch = 131072
     max_candidates = 32
     halo_ch = 1473
-    n_wb = (scan_len_ch + halo_ch) * 20  # one streaming block
+    n_wb = (scan_len_ch + halo_ch) * 20
 
     aa_bits = jnp.asarray(B.hex_to_bits("d6be898e"))
     aa_mask = jnp.asarray(np.ones(32, np.int8))
@@ -46,39 +55,49 @@ def main():
         np.array([bin_to_channel(m) in (37, 38, 39) for m in range(40)])
     )
 
-    # distinct device-resident input blocks (a live front-end DMAs blocks
-    # into device memory; host<->device transfer is not the metric here)
-    rng = np.random.default_rng(0)
-    blocks = [
-        (jnp.asarray(rng.normal(0, 30, n_wb).astype(np.float32)),
-         jnp.asarray(rng.normal(0, 30, n_wb).astype(np.float32)))
-        for _ in range(24)
-    ]
+    from functools import partial
 
+    @partial(jax.jit, static_argnames=("n",))
+    def gen(k, n):
+        ki, kq = jax.random.split(k)
+        return (30.0 * jax.random.normal(ki, (n,), jnp.float32),
+                30.0 * jax.random.normal(kq, (n,), jnp.float32))
+
+    key = jax.random.PRNGKey(0)
+    blocks = []
+    for _ in range(8):
+        key, sub = jax.random.split(key)
+        blocks.append(jax.block_until_ready(gen(sub, n_wb)))
+
+    @jax.jit
     def step(i, q):
-        return wideband_scan(
+        out = wideband_scan(
             i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
             sps=4, lag=1, max_candidates=max_candidates, num_taps=1280,
         )
+        # checksum EVERY output so no stage is dead-code-eliminated
+        return sum(leaf.astype(jnp.float32).sum()
+                   for leaf in jax.tree_util.tree_leaves(out))
+
+    @jax.jit
+    def fold(scalars):
+        return sum(scalars)
 
     # compile + warm up
-    for b in blocks[:3]:
-        jax.block_until_ready(step(*b))
+    float(fold([step(*b) for b in blocks[:2]]))
 
-    # timed: streaming pipeline over rotating distinct blocks; each block
-    # advances scan_len_ch*20 wideband samples of stream. Median of 3
+    # timed: async pipeline over rotating distinct blocks; each trial is
+    # forced by ONE host fetch of the folded checksum. Median of 5
     # trials absorbs tunnel/scheduler jitter.
     iters = 24
     rates = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        outs = []
-        for k in range(iters):
-            outs.append(step(*blocks[k % len(blocks)]))
-        jax.block_until_ready(outs)
+        scalars = [step(*blocks[k % len(blocks)]) for k in range(iters)]
+        float(fold(scalars))
         rates.append(iters / (time.perf_counter() - t0))
     samples_per_block = scan_len_ch * 20  # territory actually consumed
-    msps = samples_per_block * sorted(rates)[1] / 1e6
+    msps = samples_per_block * sorted(rates)[len(rates) // 2] / 1e6
     print(json.dumps({
         "metric": "wideband_iq_msps_per_chip",
         "value": round(msps, 1),
