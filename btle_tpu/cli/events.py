@@ -8,7 +8,7 @@ the reference btle_rx --json (btle_json.h:5-40, events.py of btle_cli).
 from __future__ import annotations
 
 import json
-from typing import Literal, Optional, Union
+from typing import Literal, Union
 
 from pydantic import BaseModel, ConfigDict, ValidationError
 
@@ -30,21 +30,21 @@ class PktEvent(_Base):
     kind: Literal["adv", "data"]
     plen: int
     payload_hex: str
-    rssi_est: Optional[int] = None
+    rssi_est: int | None = None
 
     # ADV branch
-    pdu_type: Optional[int] = None
-    pdu_name: Optional[str] = None
-    tx_add: Optional[int] = None
-    rx_add: Optional[int] = None
-    adv_a: Optional[str] = None
+    pdu_type: int | None = None
+    pdu_name: str | None = None
+    tx_add: int | None = None
+    rx_add: int | None = None
+    adv_a: str | None = None
 
     # DATA branch
-    ll_pdu_type: Optional[int] = None
-    ll_pdu_name: Optional[str] = None
-    nesn: Optional[int] = None
-    sn: Optional[int] = None
-    md: Optional[int] = None
+    ll_pdu_type: int | None = None
+    ll_pdu_name: str | None = None
+    nesn: int | None = None
+    sn: int | None = None
+    md: int | None = None
 
 
 class HopEvent(_Base):
@@ -58,7 +58,7 @@ class HopEvent(_Base):
     crc_init: str
     interval_us: int
     hop: int
-    chm: Optional[str] = None
+    chm: str | None = None
 
 
 class StatusEvent(_Base):
@@ -70,8 +70,8 @@ class StatusEvent(_Base):
     gain: int = 0
     lna: int = 0
     amp: int = 0
-    filter_adva: Optional[str] = None
-    msg: Optional[str] = None
+    filter_adva: str | None = None
+    msg: str | None = None
 
 
 Event = Union[PktEvent, HopEvent, StatusEvent]
@@ -79,7 +79,7 @@ Event = Union[PktEvent, HopEvent, StatusEvent]
 _BY_TYPE = {"pkt": PktEvent, "hop": HopEvent, "status": StatusEvent}
 
 
-def parse_line(line: str) -> Optional[Event]:
+def parse_line(line: str) -> Event | None:
     s = line.strip()
     if not s or s[0] != "{":
         return None

