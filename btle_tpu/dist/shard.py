@@ -33,7 +33,33 @@ from ..rx.pipeline import decode_block, required_halo
 from ..spec import bits as B
 from ..spec import crc24 as C
 from ..spec import whitening as W
-from ..wideband.channelizer import D, M, _conv_kernel, _dft_matrix, bin_to_channel
+from ..wideband.channelizer import D, M, _dft_matrix, _poly_kernel, bin_to_channel
+
+
+def _branch_split_plan(num_taps: int):
+    """Per-device polyphase conv plan for a contiguous branch group.
+
+    Device g owns branches p in [g*chunk, (g+1)*chunk). In the polyphase
+    form (channelizer._poly_kernel) each branch reads ONE decimated
+    column c(p); the group's conv is a feature_group_count=chunk conv
+    over its gathered columns (duplicate gathers are fine) —
+    M/n_ch x L/M MACs per output frame instead of the dense L-wide
+    window. Returns flat (cols (M,), kernels (M, 1, width)) in branch
+    order; a device slices its contiguous chunk.
+    """
+    kern, row_of_p = _poly_kernel(num_taps)
+    cols = np.zeros(M, np.int32)
+    kernels = np.zeros((M, 1, kern.shape[2]), np.float32)
+    for p in range(M):
+        if p % D == 0:
+            c = 0
+        elif p <= D - 1:
+            c = D - p
+        else:
+            c = 2 * D - p
+        cols[p] = c
+        kernels[p, 0] = kern[row_of_p[p], 0]
+    return cols, kernels
 
 CH_SPS = 4
 # Symbol-lag phase-difference decisions (the golden model's demod,
@@ -79,7 +105,9 @@ class ShardedWidebandScan:
         aa_adv = B.hex_to_bits(access_address_hex)
         self.aa_rows = jnp.asarray(np.tile(aa_adv, (M, 1)))
         self.aa_mask = jnp.asarray(np.ones(32, np.int8))
-        self.kernel = jnp.asarray(_conv_kernel(num_taps))       # (M, 1, L)
+        cols, kernels = _branch_split_plan(num_taps)
+        self.branch_cols = jnp.asarray(cols)                    # (M,)
+        self.kernel = jnp.asarray(kernels)                      # (M, 1, W)
         er, ei = _dft_matrix()
         self.dft_r = jnp.asarray(er)
         self.dft_i = jnp.asarray(ei)
@@ -115,7 +143,8 @@ class ShardedWidebandScan:
         k_per_block = block_wb // D
         aa_mask = self.aa_mask
 
-        def body(xi, xq, kernel, dft_r, dft_i, aa_rows, whiten, crc_inits, adv_flags):
+        def body(xi, xq, branch_cols, kernel, dft_r, dft_i, aa_rows, whiten,
+                 crc_inits, adv_flags):
             # xi, xq: (block_wb,) local time shard (replicated over 'ch')
             t_idx = jax.lax.axis_index("time")
             c_idx = jax.lax.axis_index("ch")
@@ -141,15 +170,28 @@ class ShardedWidebandScan:
             xi_h = jnp.concatenate([ctx_i, xi, head_i])
             xq_h = jnp.concatenate([ctx_q, xq, head_q])
 
-            # ---- branch-split polyphase conv (this device's branches) ----
+            # ---- branch-split polyphase conv (this device's branches):
+            # frame the padded stream into the D decimated columns, gather
+            # the columns this device's branches read, run a
+            # feature_group_count=chunk conv (channelizer._poly_kernel
+            # decomposition; one extra never-read left zero makes the
+            # length frame-aligned). The left context supplies the real
+            # num_taps-1 history samples; output k aligns with xi[k*D].
+            width = kernel.shape[2]
+            x = jnp.stack([xi_h, xq_h]).astype(jnp.float32)
+            x = jnp.pad(x, ((0, 0), (1, 0)))
+            frames = x.reshape(2, x.shape[1] // D, D)
+            cols_g = jax.lax.dynamic_slice(branch_cols, (c_idx * chunk,),
+                                           (chunk,))
+            sel = jnp.take(frames, cols_g, axis=2)      # (2, J, chunk)
+            lhs = jnp.swapaxes(sel, 1, 2)               # (2, chunk, J)
             ker_grp = jax.lax.dynamic_slice(
-                kernel, (c_idx * chunk, 0, 0), (chunk, 1, num_taps)
+                kernel, (c_idx * chunk, 0, 0), (chunk, 1, width)
             )
-            # the left context supplies the num_taps-1 history samples the
-            # zero-pad used to fake; output k aligns with xi[k*D] as before
-            x = jnp.stack([xi_h, xq_h]).astype(jnp.float32)[:, None, :]
             u = jax.lax.conv_general_dilated(
-                x, ker_grp, window_strides=(D,), padding="VALID",
+                lhs, ker_grp, window_strides=(1,), padding="VALID",
+                dimension_numbers=("NCW", "OIW", "NCW"),
+                feature_group_count=chunk,
                 preferred_element_type=jnp.float32,
             )  # (2, chunk, K)
 
@@ -188,7 +230,7 @@ class ShardedWidebandScan:
 
         in_specs = (
             P("time"), P("time"),          # xi, xq sharded over time
-            P(), P(), P(), P(), P(), P(), P(),  # parameters replicated
+            P(), P(), P(), P(), P(), P(), P(), P(),  # params replicated
         )
         out_specs = {
             "pos": P("time", "ch"),
@@ -217,9 +259,9 @@ class ShardedWidebandScan:
         sh = NamedSharding(self.mesh, P("time"))
         xi = jax.device_put(jnp.asarray(i_wb, jnp.float32), sh)
         xq = jax.device_put(jnp.asarray(q_wb, jnp.float32), sh)
-        return self._fn(xi, xq, self.kernel, self.dft_r, self.dft_i,
-                        self.aa_rows, self.whiten_rows, self.crc_inits,
-                        self.adv_flags)
+        return self._fn(xi, xq, self.branch_cols, self.kernel, self.dft_r,
+                        self.dft_i, self.aa_rows, self.whiten_rows,
+                        self.crc_inits, self.adv_flags)
 
     # ------------------------------------------------------------------
     def enable_connection_following(self):

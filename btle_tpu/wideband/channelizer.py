@@ -41,6 +41,11 @@ TAPS_PER_BRANCH = 32   # prototype length = M * TAPS_PER_BRANCH
 # far below the BLE operating SNR (the sensitivity suite passes either
 # way). Measured on v5e before flipping the default.
 _CONV_DTYPE = jnp.float32
+# One dense DFT-folded conv vs grouped-conv + DFT matmuls: both are
+# numerically validated against the same oracle; the grouped form
+# measured faster on v5e (the 80x40x65 dense conv lowers poorly), so it
+# is the default. Flip for experimentation.
+_FUSED_CONV = False
 
 
 def channel_to_bin(channel: int) -> int:
@@ -195,22 +200,46 @@ def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = Fa
     right = (-n_all) % D
     x = jnp.pad(x, ((0, 0), (left, right)))
     frames = x.reshape(2, x.shape[1] // D, D)          # (2, J, 20)
-    # input channels = 20 I-frames + 20 Q-frames; one dense conv computes
-    # polyphase FIR *and* DFT (kernel has the DFT folded in)
-    lhs = jnp.swapaxes(frames, 1, 2).reshape(1, 2 * D, -1)   # (1, 40, J)
-    w = jnp.asarray(_fused_kernel(num_taps))                 # (80, 40, 65)
-    y = jax.lax.conv_general_dilated(
-        lhs.astype(_CONV_DTYPE), w.astype(_CONV_DTYPE),
-        window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        preferred_element_type=jnp.float32,
-    )[0]                                               # (80, K)
+    if _FUSED_CONV:
+        # input channels = 20 I-frames + 20 Q-frames; one dense conv
+        # computes polyphase FIR *and* DFT (kernel has the DFT folded in)
+        lhs = jnp.swapaxes(frames, 1, 2).reshape(1, 2 * D, -1)  # (1, 40, J)
+        w = jnp.asarray(_fused_kernel(num_taps))                # (80, 40, 65)
+        y = jax.lax.conv_general_dilated(
+            lhs.astype(_CONV_DTYPE), w.astype(_CONV_DTYPE),
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            preferred_element_type=jnp.float32,
+        )[0]                                           # (80, K)
+        y_i, y_q = y[:M], y[M:]
+    else:
+        # grouped polyphase conv (the measured-fastest lowering on v5e:
+        # each of the 20 decimated streams feeds its two branches), then
+        # the 40-point DFT as matmuls
+        lhs = jnp.swapaxes(frames, 1, 2)               # (2, 20, J)
+        kern, row_of_p = _poly_kernel(num_taps)
+        u = jax.lax.conv_general_dilated(
+            lhs.astype(_CONV_DTYPE), jnp.asarray(kern).astype(_CONV_DTYPE),
+            window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            feature_group_count=D,
+            preferred_element_type=jnp.float32,
+        )                                              # (2, M, K)
+        u = jnp.take(u, jnp.asarray(row_of_p), axis=1)
+        er, ei = _dft_matrix()
+        er = jnp.asarray(er)
+        ei = jnp.asarray(ei)
+        u_i, u_q = u[0], u[1]
+        y_i = jnp.dot(er, u_i, preferred_element_type=jnp.float32) - jnp.dot(
+            ei, u_q, preferred_element_type=jnp.float32)
+        y_q = jnp.dot(er, u_q, preferred_element_type=jnp.float32) + jnp.dot(
+            ei, u_i, preferred_element_type=jnp.float32)
 
     # (-1)^(m k) correction from D = M/2
-    k_idx = jnp.arange(y.shape[1])
+    k_idx = jnp.arange(y_i.shape[1])
     m_idx = jnp.arange(M)[:, None]
     sign = jnp.where((m_idx * k_idx) % 2 == 0, 1.0, -1.0).astype(jnp.float32)
-    return y[:M] * sign, y[M:] * sign
+    return y_i * sign, y_q * sign
 
 
 def synthesize_wideband(channel_signals: dict[int, tuple[np.ndarray, np.ndarray]],
