@@ -256,6 +256,16 @@ def cmd_tx(args):
             iq[1::2] = q / 256.0
             iq.tofile(args.out)
         print(f"# wrote {args.out} ({len(i)} IQ pairs)", file=sys.stderr)
+    if args.udp:
+        from ..tx.playback import udp_transmit
+
+        host, _, port = args.udp.rpartition(":")
+        sent = udp_transmit(packets, int(port), host or "127.0.0.1",
+                            sps=4, num_repeat=repeat,
+                            realtime=args.realtime)
+        print(f"# transmitted {sent} IQ pairs to udp://{args.udp}"
+              f"{' (realtime-paced)' if args.realtime else ''}",
+              file=sys.stderr)
     return 0
 
 
@@ -383,6 +393,11 @@ def build_parser():
     p.add_argument("--repeat", type=int, default=None)
     p.add_argument("--dump-dir", default=None,
                    help="write reference-style per-stage trace files")
+    p.add_argument("--udp", default=None, metavar="HOST:PORT",
+                   help="play the plan as timed bursts to a UDP receiver "
+                        "(wire format of the runtime's ingest)")
+    p.add_argument("--realtime", action="store_true",
+                   help="pace --udp playback at the 4 Msps air rate")
     p.set_defaults(fn=cmd_tx)
 
     p = sub.add_parser("analyze", help="summarize a pcap capture")

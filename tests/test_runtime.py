@@ -115,3 +115,53 @@ class TestEndToEnd:
         assert len(ok) == 1
         np.testing.assert_array_equal(
             np.frombuffer(ok[0].payload_bytes, np.uint8), B.bits_to_bytes(pdu)[2:])
+
+
+class TestUdpTransmit:
+    def test_timed_burst_loopback(self, rng):
+        """TX burst scheduler over the wire (btle_tx tx_one_buf analog):
+        synthesize a 2-packet plan, play it to UDP in wire format, ingest
+        through the native ring, decode both packets back."""
+        jax = pytest.importorskip("jax")
+        from btle_tpu.stream import Sniffer, SnifferConfig
+        from btle_tpu.tx import synthesize
+        from btle_tpu.tx.descriptor import parse_descriptor
+        from btle_tpu.tx.playback import NUM_PRE_SEND_ZEROS, udp_transmit
+
+        specs = [
+            parse_descriptor("37-ADV_IND-TxAdd-0-RxAdd-0-AdvA-0a0b0c0d0e0f"
+                             "-AdvData-0201060709546573747932-Space-2"),
+            parse_descriptor("37-ADV_IND-TxAdd-0-RxAdd-0-AdvA-102030405060"
+                             "-AdvData-020106-Space-1"),
+        ]
+        pkts = synthesize(specs, flavor="c", sps=4)
+        for p in pkts:
+            p.i = p.i.astype(np.int16) * 32
+            p.q = p.q.astype(np.int16) * 32
+
+        ring = runtime.IqRingBuffer(1 << 18)
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        src = runtime.UdpIngest(ring, port, "i16")
+        try:
+            sent = udp_transmit(pkts, port, sps=4, num_repeat=2)
+            expect = 2 * sum(
+                NUM_PRE_SEND_ZEROS + len(p.i) + p.spec.space_ms * 4000
+                for p in pkts)
+            assert sent == expect
+            deadline = time.time() + 5
+            while ring.available_pairs < sent and time.time() < deadline:
+                time.sleep(0.01)
+            assert ring.available_pairs == sent, "datagrams lost in loopback"
+            i, q = ring.drain()
+        finally:
+            src.stop()
+
+        sn = Sniffer(SnifferConfig(channel=37, scan_len=8192), quiet_text=True)
+        events = sn.run(iter([(i, q)]))
+        ok = [e for e in events if e.crc_ok]
+        assert len(ok) == 4  # 2 packets x 2 repeats
+        assert ok[0].payload.adv_a == bytes.fromhex("0a0b0c0d0e0f")
+        assert ok[1].payload.adv_a == bytes.fromhex("102030405060")
