@@ -34,7 +34,8 @@ def main():
     from btle_tpu.spec import crc24 as C
     from btle_tpu.spec import whitening as W
     from btle_tpu.wideband.channelizer import bin_to_channel
-    from btle_tpu.wideband.sniffer import wideband_scan
+    from btle_tpu.wideband.fused import wideband_scan_fused
+    from btle_tpu.wideband.sniffer import CH_LAG, wideband_scan
 
     # 131072 channel-samples per block (~33 ms of air) amortizes dispatch
     # overhead; candidate capacity scales with the block.
@@ -69,22 +70,36 @@ def main():
         key, sub = jax.random.split(key)
         blocks.append(jax.block_until_ready(gen(sub, n_wb)))
 
-    @jax.jit
-    def step(i, q):
-        out = wideband_scan(
-            i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
-            sps=4, lag=1, max_candidates=max_candidates, num_taps=1280,
-        )
-        # checksum EVERY output so no stage is dead-code-eliminated
-        return sum(leaf.astype(jnp.float32).sum()
-                   for leaf in jax.tree_util.tree_leaves(out))
+    def make_step(scan_fn, **kw):
+        @jax.jit
+        def step(i, q):
+            out = scan_fn(
+                i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                sps=4, lag=CH_LAG, max_candidates=max_candidates,
+                num_taps=1280, **kw,
+            )
+            # checksum EVERY output so no stage is dead-code-eliminated
+            return sum(leaf.astype(jnp.float32).sum()
+                       for leaf in jax.tree_util.tree_leaves(out))
+        return step
 
     @jax.jit
     def fold(scalars):
         return sum(scalars)
 
-    # compile + warm up
-    float(fold([step(*b) for b in blocks[:2]]))
+    # Production path: the fused Pallas front end (wideband.fused). The
+    # XLA path is the fallback if the Pallas kernel cannot compile on
+    # this backend (e.g. CPU-only environments).
+    import sys
+
+    try:
+        step = make_step(wideband_scan_fused)
+        float(fold([step(*b) for b in blocks[:2]]))  # compile + warm up
+    except Exception as e:  # pragma: no cover - fallback path
+        print(f"# fused front end unavailable ({type(e).__name__}); "
+              "falling back to the XLA pipeline", file=sys.stderr)
+        step = make_step(wideband_scan)
+        float(fold([step(*b) for b in blocks[:2]]))
 
     # timed: async pipeline over rotating distinct blocks; each trial is
     # forced by ONE host fetch of the folded checksum. Median of 5

@@ -107,6 +107,55 @@ def _decode_candidate(pos, bits, whiten, crc_init, adv_flag, table, sps):
     return plen, crc_match, pkt_bytes, len_ok, dew
 
 
+def earliest_hits(hit, max_candidates: int, min_pos):
+    """Earliest ``max_candidates`` hit positions of a 0/1 hit lattice, in
+    stream order, ignoring positions before ``min_pos`` (traced).
+
+    Returns (pos, valid, num_hits). top_k of a masked iota lowers to a
+    vectorized partial sort on TPU; the previous cumsum-rank + scatter
+    formulation serialized in the scatter and dominated the whole wideband
+    block decode (~30 ms/block measured).
+    """
+    npos = hit.shape[0]
+    hit = hit & (jnp.arange(npos, dtype=jnp.int32) >= jnp.int32(min_pos))
+    big = jnp.int32(np.iinfo(np.int32).max // 2)
+    masked = jnp.where(hit, jnp.arange(npos, dtype=jnp.int32), big)
+    neg_top, _ = jax.lax.top_k(-masked, max_candidates)
+    top = -neg_top
+    valid = top < big
+    pos = jnp.where(valid, top, 0)
+    return pos, valid, jnp.sum(hit.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("sps", "max_candidates"))
+def decode_from_lattice(hit, bits, mag_win, whiten, crc_init, adv_flag,
+                        sps: int, max_candidates: int = 16, min_pos=0):
+    """Candidate selection + CRC decode over precomputed lattices.
+
+    The same back half as decode_block, but taking the (hit, bits) lattices
+    and a per-position RSSI window mean directly — the fused Pallas
+    front-end (wideband.fused) produces these without materializing the
+    per-channel IQ in HBM. Output dict matches decode_block.
+    """
+    pos, valid, num_hits = earliest_hits(hit, max_candidates, min_pos)
+    table = jnp.asarray(CRC24_TABLE.astype(np.int32))
+    plen, crc_match, pkt_bytes, len_ok, _ = jax.vmap(
+        lambda p: _decode_candidate(p, bits, whiten, crc_init, adv_flag, table, sps)
+    )(pos)
+    crc_ok = crc_match & len_ok
+    mag_mean = jnp.take(mag_win, jnp.clip(pos, 0, mag_win.shape[0] - 1))
+    return {
+        "pos": pos,
+        "valid": valid,
+        "payload_len": plen,
+        "len_ok": len_ok,
+        "crc_ok": crc_ok & valid,
+        "pdu_bytes": pkt_bytes,
+        "mag_mean": mag_mean,
+        "num_hits": num_hits,
+    }
+
+
 @partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "with_mag"))
 def decode_block(
     i,
@@ -133,21 +182,9 @@ def decode_block(
     adv_flag:  bool scalar — advertising (6-bit length) vs data channel
     """
     hit, bits = scan_block(i, q, aa_bits, aa_mask, sps, lag)
-    npos = hit.shape[0]
     # ``min_pos`` (traced) lets callers continue a span-eating scan past
     # the first max_candidates hits without recompiling
-    hit = hit & (jnp.arange(npos, dtype=jnp.int32) >= jnp.int32(min_pos))
-    big = jnp.int32(np.iinfo(np.int32).max // 2)
-    # earliest-K hit positions: mask misses to +BIG and take the K
-    # smallest via top_k of the negation (ascending = stream order).
-    # top_k lowers to a vectorized partial sort on TPU; the previous
-    # cumsum-rank + scatter formulation serialized in the scatter and
-    # dominated the whole wideband block decode (~30 ms/block measured).
-    masked = jnp.where(hit, jnp.arange(npos, dtype=jnp.int32), big)
-    neg_top, _ = jax.lax.top_k(-masked, max_candidates)
-    top = -neg_top
-    valid = top < big
-    pos = jnp.where(valid, top, 0)
+    pos, valid, num_hits = earliest_hits(hit, max_candidates, min_pos)
 
     table = jnp.asarray(CRC24_TABLE.astype(np.int32))
     plen, crc_match, pkt_bytes, len_ok, _ = jax.vmap(
@@ -175,7 +212,7 @@ def decode_block(
         "crc_ok": crc_ok & valid,
         "pdu_bytes": pkt_bytes,
         "mag_mean": mag_mean,
-        "num_hits": jnp.sum(hit.astype(jnp.int32)),
+        "num_hits": num_hits,
     }
 
 

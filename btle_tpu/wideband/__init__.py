@@ -9,4 +9,5 @@ from .channelizer import (  # noqa: F401
     prototype_filter,
     synthesize_wideband,
 )
+from .fused import fused_frontend, wideband_scan_fused  # noqa: F401
 from .sniffer import WidebandConfig, WidebandPacket, WidebandSniffer, wideband_scan  # noqa: F401

@@ -129,6 +129,12 @@ class WidebandConfig:
     # per-channel CRC init override for followed connections
     data_crc_init_table: int | None = None
     data_access_address_hex: str | None = None
+    # fused Pallas front end (wideband.fused): keeps the channelized
+    # baseband in VMEM instead of round-tripping HBM between stages.
+    # Off by default (the XLA path runs everywhere incl. CPU); bench.py
+    # and TPU deployments turn it on.
+    fused: bool = False
+    fused_tile: int = 2048
 
 
 @dataclass
@@ -222,13 +228,25 @@ class WidebandSniffer:
         self._ctx_i = xi[step : step + self._ctx_len].copy()
         self._ctx_q = xq[step : step + self._ctx_len].copy()
         dxi, dxq = jnp.asarray(xi), jnp.asarray(xq)
-        out = wideband_scan(
-            dxi, dxq, self.aa_rows, self.aa_mask,
-            self.whiten_rows, self.crc_inits, self.adv_flags,
-            sps=CH_SPS, lag=CH_LAG,
-            max_candidates=self.cfg.max_candidates, num_taps=self.cfg.num_taps,
-            has_context=True,
-        )
+        if self.cfg.fused:
+            from .fused import wideband_scan_fused
+
+            out = wideband_scan_fused(
+                dxi, dxq, self.aa_rows, self.aa_mask,
+                self.whiten_rows, self.crc_inits, self.adv_flags,
+                sps=CH_SPS, lag=CH_LAG,
+                max_candidates=self.cfg.max_candidates,
+                num_taps=self.cfg.num_taps, has_context=True,
+                tile=self.cfg.fused_tile,
+            )
+        else:
+            out = wideband_scan(
+                dxi, dxq, self.aa_rows, self.aa_mask,
+                self.whiten_rows, self.crc_inits, self.adv_flags,
+                sps=CH_SPS, lag=CH_LAG,
+                max_candidates=self.cfg.max_candidates, num_taps=self.cfg.num_taps,
+                has_context=True,
+            )
         out = {k: np.asarray(v) for k, v in out.items()}
 
         packets: list[WidebandPacket] = []

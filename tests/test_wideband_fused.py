@@ -1,0 +1,172 @@
+"""Fused Pallas wideband front-end vs the XLA path (interpret mode on CPU;
+the compiled kernel is exercised by bench.py on TPU hardware).
+
+Parity criterion: identical packet sets (positions, CRC verdicts, PDU
+octets) — the reference's own packet-decision parity notion
+(python/test_btle_rx_by_captured_iq.py). Bit-for-bit lattice equality is
+NOT required: the fused filterbank contracts in a different order, so
+decisions where |d| ~ 1e-9 (pure-noise float ties) may flip.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import os
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from btle_tpu.golden import model as G
+from btle_tpu.spec import bits as B
+from btle_tpu.spec import crc24 as C
+from btle_tpu.spec import whitening as W
+
+if os.environ.get("BTLE_TPU_TEST_BACKEND") == "tpu":
+    pytest.skip("pallas interpret mode is a CPU debugging path; the "
+                "compiled kernel is exercised by bench.py on hardware",
+                allow_module_level=True)
+
+from btle_tpu.wideband import synthesize_wideband
+from btle_tpu.wideband.channelizer import bin_to_channel
+from btle_tpu.wideband.fused import fused_frontend, wideband_scan_fused
+from btle_tpu.wideband.sniffer import wideband_scan
+
+
+def _burst(rng, ch, n_payload=12):
+    hdr = 0x40 if ch in (37, 38, 39) else 0x01
+    payload = rng.integers(0, 256, n_payload, dtype=np.uint8)
+    pdu = B.bytes_to_bits(
+        np.concatenate([[hdr, n_payload], payload]).astype(np.uint8))
+    phy = G.assemble_phy_bits(pdu, ch)
+    return G.gfsk_modulate_float(phy, 80)
+
+
+def _tables():
+    aa = jnp.asarray(B.hex_to_bits("d6be898e"))
+    mask = jnp.asarray(np.ones(32, np.int8))
+    whiten = jnp.asarray(
+        np.stack([W.whitening_bits(bin_to_channel(m), 336) for m in range(40)]))
+    crc = jnp.asarray(np.full(40, C.lfsr_init_to_table_init("555555"), np.int32))
+    adv = jnp.asarray(
+        np.array([bin_to_channel(m) in (37, 38, 39) for m in range(40)]))
+    return aa, mask, whiten, crc, adv
+
+
+def _wideband(rng, chans=(37, 0, 17, 39), n=100000):
+    signals, offsets = {}, {}
+    for k, ch in enumerate(chans):
+        signals[ch] = _burst(rng, ch)
+        offsets[ch] = 3000 + 20000 * k
+    wi, wq = synthesize_wideband(signals, n, offsets)
+    wi += rng.normal(0, 0.01, wi.shape).astype(np.float32)
+    wq += rng.normal(0, 0.01, wq.shape).astype(np.float32)
+    return wi, wq
+
+
+@pytest.mark.parametrize("lag", [4, 1])
+def test_fused_scan_packet_parity(rng, lag):
+    wi, wq = _wideband(rng)
+    aa, mask, whiten, crc, adv = _tables()
+    ref = wideband_scan(jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten,
+                        crc, adv, sps=4, lag=lag, max_candidates=8)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+    with pltpu.force_tpu_interpret_mode():
+        out = wideband_scan_fused(
+            jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten, crc, adv,
+            sps=4, lag=lag, max_candidates=8, tile=512, interpret=True)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    for key in ("pos", "valid", "crc_ok", "payload_len", "len_ok"):
+        np.testing.assert_array_equal(ref[key], out[key], err_msg=key)
+    assert int(ref["crc_ok"].sum()) >= 4  # every injected packet decoded
+    np.testing.assert_array_equal(ref["num_hits"], out["num_hits"])
+    # PDU octets compared over the meaningful span (header + payload +
+    # CRC); bytes past the packet are noise decisions and may differ
+    for m, k in np.argwhere(ref["crc_ok"]):
+        span = 2 + int(ref["payload_len"][m, k]) + 3
+        np.testing.assert_array_equal(
+            ref["pdu_bytes"][m, k, :span], out["pdu_bytes"][m, k, :span])
+        # the fused windowed RSSI sums are exact per window while the XLA
+        # path differences a block-wide f32 cumsum — allow that error
+        np.testing.assert_allclose(
+            ref["mag_mean"][m, k], out["mag_mean"][m, k], rtol=0.02)
+
+
+def test_fused_frontend_lattice_parity(rng):
+    """Decision/hit lattices match the per-channel XLA scan except where
+    |d| is at float-tie level (pure noise)."""
+    from btle_tpu.rx.pipeline import scan_block
+    from btle_tpu.wideband.channelizer import channelize
+
+    wi, wq = _wideband(rng, chans=(37,), n=60000)
+    aa, mask, *_ = _tables()
+    yi, yq = channelize(jnp.asarray(wi), jnp.asarray(wq))
+    yi, yq = np.asarray(yi), np.asarray(yq)
+    hit_ref, bits_ref = [], []
+    for m in range(40):
+        h, b = scan_block(jnp.asarray(yi[m]), jnp.asarray(yq[m]), aa, mask,
+                          sps=4, lag=4)
+        hit_ref.append(np.asarray(h))
+        bits_ref.append(np.asarray(b))
+    hit_ref, bits_ref = np.stack(hit_ref), np.stack(bits_ref)
+    with pltpu.force_tpu_interpret_mode():
+        bits_f, hit_f, mag_f = fused_frontend(
+            jnp.asarray(wi), jnp.asarray(wq), aa, mask, tile=512,
+            interpret=True)
+    np.testing.assert_array_equal(hit_ref, np.asarray(hit_f))
+    frac = (bits_ref != np.asarray(bits_f)).mean()
+    assert frac < 1e-3, frac  # only noise-tie flips
+    # RSSI window means: exact windowed sums vs the channelize output.
+    # On the packet (large |y|) the two filterbank evaluations agree
+    # tightly; at the noise floor f32 contraction-order differences
+    # dominate, so compare with an absolute floor there.
+    mag_f = np.asarray(mag_f)
+    d = np.abs(yi) + np.abs(yq)
+    n0 = 300  # inside the ch-37 burst (frames ~150-850)
+    want = d[:, n0 : n0 + 128].mean(axis=1)
+    np.testing.assert_allclose(mag_f[20, n0], want[20], rtol=1e-4)
+    np.testing.assert_allclose(mag_f[:, n0], want, rtol=1e-2, atol=1e-3)
+
+
+def test_fused_bf16_decodes_real_packets(rng):
+    """bf16 filterbank: every real packet still decodes. bf16's ~-48 dB
+    stopband lets a strong burst ghost into other channels as extra AA
+    hits (a 2 MHz-multiple CFO is invisible to symbol-lag phase-diff
+    demod), but per-channel whitening makes ghosts fail CRC — they cost
+    candidate slots, never produce false packets. f32 is the default."""
+    wi, wq = _wideband(rng)
+    aa, mask, whiten, crc, adv = _tables()
+    with pltpu.force_tpu_interpret_mode():
+        out = wideband_scan_fused(
+            jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten, crc, adv,
+            sps=4, lag=4, max_candidates=8, tile=512,
+            compute_dtype="bf16", interpret=True)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    from btle_tpu.wideband.channelizer import channel_to_bin
+
+    got = {m for m, k in np.argwhere(out["crc_ok"])}
+    assert {channel_to_bin(ch) for ch in (37, 0, 17, 39)} <= got
+    # ghosts (extra crc_ok channels) would indicate whitening confusion
+    assert got == {channel_to_bin(ch) for ch in (37, 0, 17, 39)}
+
+
+def test_fused_has_context_streaming(rng):
+    """has_context frame alignment matches channelize's (streaming mode)."""
+    aa, mask, whiten, crc, adv = _tables()
+    wi, wq = _wideband(rng, chans=(38,), n=80000)
+    ctx = np.zeros(1279, np.float32)
+    ref = wideband_scan(jnp.asarray(np.concatenate([ctx, wi])),
+                        jnp.asarray(np.concatenate([ctx, wq])),
+                        aa, mask, whiten, crc, adv, sps=4, lag=4,
+                        max_candidates=8, has_context=True)
+    with pltpu.force_tpu_interpret_mode():
+        out = wideband_scan_fused(
+            jnp.asarray(np.concatenate([ctx, wi])),
+            jnp.asarray(np.concatenate([ctx, wq])),
+            aa, mask, whiten, crc, adv, sps=4, lag=4, max_candidates=8,
+            tile=512, has_context=True, interpret=True)
+    for key in ("pos", "valid", "crc_ok"):
+        np.testing.assert_array_equal(
+            np.asarray(ref[key]), np.asarray(out[key]), err_msg=key)
+    assert int(np.asarray(ref["crc_ok"]).sum()) >= 1

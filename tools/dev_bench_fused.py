@@ -1,0 +1,165 @@
+"""Dev harness: stage-level timing of the wideband pass on the live TPU.
+
+Usage: python tools/dev_bench_fused.py [all|xla|fused|frontend|selectcrc|bf16|tiles]
+Value-forced timing (see bench.py header): each trial folds a batch of
+dispatches to one scalar; a single host fetch forces every execution.
+"""
+import json, time, sys
+import numpy as np
+import os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+import jax, jax.numpy as jnp
+print("devices:", jax.devices(), flush=True)
+
+from functools import partial
+from btle_tpu.spec import bits as B
+from btle_tpu.spec import crc24 as C
+from btle_tpu.spec import whitening as W
+from btle_tpu.wideband.channelizer import bin_to_channel, channelize
+from btle_tpu.wideband.sniffer import wideband_scan, decode_channels
+from btle_tpu.wideband.fused import wideband_scan_fused, fused_frontend
+
+scan_len_ch = 131072
+max_candidates = 32
+halo_ch = 1473
+n_wb = (scan_len_ch + halo_ch) * 20
+LAG = 4
+
+aa_bits = jnp.asarray(B.hex_to_bits("d6be898e"))
+aa_mask = jnp.asarray(np.ones(32, np.int8))
+whiten_rows = jnp.asarray(np.stack([W.whitening_bits(bin_to_channel(m), 336) for m in range(40)]))
+crc_inits = jnp.asarray(np.full(40, C.lfsr_init_to_table_init("555555"), np.int32))
+adv_flags = jnp.asarray(np.array([bin_to_channel(m) in (37,38,39) for m in range(40)]))
+
+@partial(jax.jit, static_argnames=("n",))
+def gen(k, n):
+    ki, kq = jax.random.split(k)
+    return (30.0*jax.random.normal(ki,(n,),jnp.float32), 30.0*jax.random.normal(kq,(n,),jnp.float32))
+
+key = jax.random.PRNGKey(0)
+blocks = []
+for _ in range(8):
+    key, sub = jax.random.split(key)
+    blocks.append(jax.block_until_ready(gen(sub, n_wb)))
+
+def checksum(out):
+    return sum(leaf.astype(jnp.float32).sum() for leaf in jax.tree_util.tree_leaves(out))
+
+@jax.jit
+def fold(scalars):
+    return sum(scalars)
+
+def measure(step, name, iters=24, trials=5):
+    t0=time.perf_counter()
+    float(fold([step(*b) for b in blocks[:2]]))
+    print(f"{name}: compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+    rates=[]
+    for _ in range(trials):
+        t0=time.perf_counter()
+        scalars=[step(*blocks[k%len(blocks)]) for k in range(iters)]
+        float(fold(scalars))
+        rates.append(iters/(time.perf_counter()-t0))
+    med = sorted(rates)[len(rates)//2]
+    msps = scan_len_ch*20*med/1e6
+    allms = ", ".join(f"{1000.0/r:.2f}" for r in rates)
+    print(f"{name}: ms/block [{allms}] median {1000.0/med:.2f} ms -> {msps:.0f} Msps ({msps/800:.2f}x)", flush=True)
+    return msps
+
+def step_of(fn, **kw):
+    @jax.jit
+    def step(i, q):
+        return checksum(fn(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                           sps=4, lag=LAG, max_candidates=max_candidates, num_taps=1280, **kw))
+    return step
+
+which = sys.argv[1] if len(sys.argv)>1 else "all"
+
+if which in ("all","xla"):
+    measure(step_of(wideband_scan), "xla-full")
+if which in ("all","fused"):
+    measure(step_of(wideband_scan_fused, tile=2048), "fused-full-t2048")
+if which in ("all","frontend"):
+    @jax.jit
+    def fe(i, q):
+        return checksum(fused_frontend(i, q, jnp.broadcast_to(aa_bits,(40,32)), aa_mask,
+                                       num_taps=1280, sps=4, lag=LAG, tile=2048))
+    measure(fe, "frontend-only-t2048")
+    @jax.jit
+    def chan(i, q):
+        return checksum(channelize(i, q, num_taps=1280))
+    measure(chan, "xla-channelize-only")
+if which in ("all","selectcrc"):
+    from btle_tpu.rx.pipeline import decode_from_lattice
+    # device-resident lattices
+    b0, h0, m0 = jax.block_until_ready(jax.jit(partial(fused_frontend, num_taps=1280, sps=4, lag=LAG, tile=2048))(
+        blocks[0][0], blocks[0][1], jnp.broadcast_to(aa_bits,(40,32)), aa_mask))
+    @jax.jit
+    def sel(i, q):
+        # use traced lattices derived from stored ones + tiny input mix to defeat caching
+        def one(h, b, mg, w, c, a):
+            return decode_from_lattice(h, b, mg, w, c, a, sps=4, max_candidates=max_candidates)
+        out = jax.vmap(one)(h0, b0, m0 + i[0], whiten_rows, crc_inits, adv_flags)
+        return checksum(out)
+    measure(sel, "selectcrc-only")
+if which in ("all","tiles","bf16"):
+    if which != "bf16":
+        for tile in (4096, 8192):
+            measure(step_of(wideband_scan_fused, tile=tile), f"fused-full-t{tile}")
+    measure(step_of(wideband_scan_fused, tile=2048, compute_dtype="bf16"), "fused-bf16-t2048")
+
+if which == "selparts":
+    from btle_tpu.rx.pipeline import earliest_hits, _decode_candidate, AA_BITS
+    from btle_tpu.spec.crc24 import CRC24_TABLE
+    b0, h0, m0 = jax.block_until_ready(jax.jit(partial(fused_frontend, num_taps=1280, sps=4, lag=LAG, tile=2048))(
+        blocks[0][0], blocks[0][1], jnp.broadcast_to(aa_bits,(40,32)), aa_mask))
+    @jax.jit
+    def just_topk(i, q):
+        h = h0 ^ (i[0] > 1e9)  # defeat caching, keep values
+        def one(hrow):
+            return earliest_hits(hrow, max_candidates, 0)
+        pos, valid, n = jax.vmap(one)(h)
+        return checksum((pos, valid, n))
+    measure(just_topk, "earliest-hits-only")
+    pos0 = jnp.zeros((40, max_candidates), jnp.int32) + jnp.arange(max_candidates, dtype=jnp.int32)[None,:]*3777
+    @jax.jit
+    def just_decode(i, q):
+        table = jnp.asarray(CRC24_TABLE.astype(np.int32))
+        def one(bits_row, w, c, a, posr):
+            return jax.vmap(lambda p: _decode_candidate(p, bits_row, w, c, a, table, 4))(posr)
+        pos = pos0 + (i[0] > 1e9).astype(jnp.int32)
+        out = jax.vmap(one)(b0, whiten_rows, crc_inits, adv_flags, pos)
+        return checksum(out)
+    measure(just_decode, "decode-candidates-only")
+    @jax.jit
+    def just_mag(i, q):
+        pos = pos0 + (i[0] > 1e9).astype(jnp.int32)
+        def one(mg, p):
+            return jnp.take(mg, jnp.clip(p, 0, mg.shape[0]-1))
+        return checksum(jax.vmap(one)(m0, pos))
+    measure(just_mag, "mag-take-only")
+
+if which == "gather":
+    from btle_tpu.rx.pipeline import MAX_PDU_CRC_BITS
+    b0, h0, m0 = jax.block_until_ready(jax.jit(partial(fused_frontend, num_taps=1280, sps=4, lag=LAG, tile=2048))(
+        blocks[0][0], blocks[0][1], jnp.broadcast_to(aa_bits,(40,32)), aa_mask))
+    pos0 = jnp.zeros((40, max_candidates), jnp.int32) + jnp.arange(max_candidates, dtype=jnp.int32)[None,:]*3777
+    @jax.jit
+    def just_gather(i, q):
+        pos = pos0 + (i[0] > 1e9).astype(jnp.int32)
+        def one(bits_row, posr):
+            def g(p):
+                idx = p + 32*4 + jnp.arange(MAX_PDU_CRC_BITS, dtype=jnp.int32)*4
+                return jnp.take(bits_row, jnp.clip(idx, 0, bits_row.shape[0]-1))
+            return jax.vmap(g)(posr)
+        return checksum(jax.vmap(one)(b0, pos))
+    measure(just_gather, "bit-gather-only")
+    @jax.jit
+    def just_gather_ds(i, q):
+        pos = pos0 + (i[0] > 1e9).astype(jnp.int32)
+        def one(bits_row, posr):
+            def g(p):
+                w = jax.lax.dynamic_slice(bits_row, (jnp.clip(p + 32*4, 0, bits_row.shape[0]-MAX_PDU_CRC_BITS*4),), (MAX_PDU_CRC_BITS*4,))
+                return w[::4]
+            return jax.vmap(g)(posr)
+        return checksum(jax.vmap(one)(b0, pos))
+    measure(just_gather_ds, "bit-window-dynslice")
