@@ -33,7 +33,7 @@ def main():
     from btle_tpu.spec import bits as B
     from btle_tpu.spec import crc24 as C
     from btle_tpu.spec import whitening as W
-    from btle_tpu.wideband.channelizer import bin_to_channel
+    from btle_tpu.wideband.channelizer import DEFAULT_TAPS, bin_to_channel
     from btle_tpu.wideband.fused import wideband_scan_fused
     from btle_tpu.wideband.sniffer import CH_LAG, wideband_scan
 
@@ -76,7 +76,7 @@ def main():
             out = scan_fn(
                 i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
                 sps=4, lag=CH_LAG, max_candidates=max_candidates,
-                num_taps=1280, **kw,
+                num_taps=DEFAULT_TAPS, **kw,
             )
             # checksum EVERY output so no stage is dead-code-eliminated
             return sum(leaf.astype(jnp.float32).sum()

@@ -33,7 +33,7 @@ from ..rx.pipeline import decode_block, required_halo
 from ..spec import bits as B
 from ..spec import crc24 as C
 from ..spec import whitening as W
-from ..wideband.channelizer import D, M, _dft_matrix, _poly_kernel, bin_to_channel
+from ..wideband.channelizer import DEFAULT_TAPS, D, M, _dft_matrix, _poly_kernel, bin_to_channel
 
 
 def _branch_split_plan(num_taps: int):
@@ -84,7 +84,7 @@ class ShardedWidebandScan:
     candidate arrays of shape (n_time, M, max_candidates, ...).
     """
 
-    def __init__(self, mesh: Mesh, block_wb: int, num_taps: int = 1280,
+    def __init__(self, mesh: Mesh, block_wb: int, num_taps: int = DEFAULT_TAPS,
                  max_candidates: int = 16,
                  access_address_hex: str = "D6BE898E",
                  crc_init_hex: str = "555555"):

@@ -111,16 +111,29 @@ def earliest_hits(hit, max_candidates: int, min_pos):
     """Earliest ``max_candidates`` hit positions of a 0/1 hit lattice, in
     stream order, ignoring positions before ``min_pos`` (traced).
 
-    Returns (pos, valid, num_hits). top_k of a masked iota lowers to a
-    vectorized partial sort on TPU; the previous cumsum-rank + scatter
-    formulation serialized in the scatter and dominated the whole wideband
-    block decode (~30 ms/block measured).
+    Returns (pos, valid, num_hits). Selection is hierarchical: segment
+    minima of the masked iota, top_k over the ~N/128 segments, then an
+    exact top_k over the K selected segments' entries. Correct because
+    any segment containing one of the K earliest hits has a minimum no
+    larger than that hit, so it ranks among the K smallest segment
+    minima. A flat top_k over the full lattice costs ~5x more
+    (measured); the round-1 cumsum-rank + scatter cost ~30 ms/block.
     """
     npos = hit.shape[0]
     hit = hit & (jnp.arange(npos, dtype=jnp.int32) >= jnp.int32(min_pos))
     big = jnp.int32(np.iinfo(np.int32).max // 2)
     masked = jnp.where(hit, jnp.arange(npos, dtype=jnp.int32), big)
-    neg_top, _ = jax.lax.top_k(-masked, max_candidates)
+
+    seg = 128
+    n_segs = -(-npos // seg)
+    k_seg = min(max_candidates, n_segs)
+    if n_segs * seg == npos and k_seg < n_segs:
+        m2 = masked.reshape(n_segs, seg)
+        _, seg_idx = jax.lax.top_k(-jnp.min(m2, axis=1), k_seg)
+        flat = m2[seg_idx].reshape(-1)
+    else:
+        flat = masked
+    neg_top, _ = jax.lax.top_k(-flat, max_candidates)
     top = -neg_top
     valid = top < big
     pos = jnp.where(valid, top, 0)

@@ -34,7 +34,14 @@ M = 40                 # channels / DFT size
 D = 20                 # decimation (output 2x oversampled: 4 Msps)
 FS_MSPS = 80           # wideband input rate
 CENTER_FREQ_HZ = 2_442_000_000
-TAPS_PER_BRANCH = 32   # prototype length = M * TAPS_PER_BRANCH
+# Prototype length = M * TAPS_PER_BRANCH (1280 taps, Kaiser beta 10:
+# stopband < -100 dB past 1.2 MHz vs the reference AD9361 profile's
+# pass0.8/stop1.1). A 20-tap/branch (-62 dB) variant was measured and,
+# counter-intuitively, ran ~15% SLOWER through the fused front end on
+# v5e (Mosaic schedules the shorter contraction worse), so the longer
+# prototype costs nothing — keep the better filter.
+TAPS_PER_BRANCH = 32
+DEFAULT_TAPS = M * TAPS_PER_BRANCH
 # Conv input dtype: f32 keeps the filter bit-faithful to the float
 # design; bf16 (with f32 accumulation) runs the fused conv on the MXU at
 # full rate and bounds the composite-filter perturbation near -50 dB —

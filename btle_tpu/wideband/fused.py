@@ -47,7 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .channelizer import D, M, _fused_kernel
+from .channelizer import D, DEFAULT_TAPS, M, _fused_kernel
 
 AA_BITS = 32
 
@@ -104,7 +104,7 @@ def _fcols(tile: int, width: int, sps: int, lag: int) -> int:
 
 def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
             fbuf, xbuf, sem, *, tile: int, width: int, sps: int, lag: int,
-            inner: str):
+            inner: str, dev_skip: str = ""):
     T = tile
     ycols = _ycols(T, sps, lag)
     i = pl.program_id(0)
@@ -152,29 +152,36 @@ def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
     bits_ref[:] = bits[:, :T].astype(jnp.int8)
 
     # per-channel AA correlation: 32 shifted FMAs of the +-1 lattice
-    s_lat = jnp.where(bits, 1.0, -1.0)
-    acc = jnp.zeros((M, T), jnp.float32)
-    for j in range(AA_BITS):
-        acc = acc + s_lat[:, j * sps : j * sps + T] * tsign_ref[:, j : j + 1]
-    hit_ref[:] = (acc == nmask_ref[0, 0]).astype(jnp.int8)
+    if "aa" in dev_skip:            # dev-only stage timing knob
+        hit_ref[:] = bits[:, :T].astype(jnp.int8)
+    else:
+        s_lat = jnp.where(bits, 1.0, -1.0)
+        acc = jnp.zeros((M, T), jnp.float32)
+        for j in range(AA_BITS):
+            acc = acc + s_lat[:, j * sps : j * sps + T] * tsign_ref[:, j : j + 1]
+        hit_ref[:] = (acc == nmask_ref[0, 0]).astype(jnp.int8)
 
     # RSSI: mean(|I|+|Q|) over the 32-symbol AA window (btle_rx.c:2234-2252)
-    win = AA_BITS * sps
-    w = jnp.abs(y_i) + jnp.abs(y_q)                 # (40, ycols)
-    span = 1
-    while span < win:
-        w = w[:, : w.shape[1] - span] + w[:, span:]
-        span *= 2
-    mag_ref[:] = w[:, :T] * (1.0 / win)
+    if "mag" in dev_skip:           # dev-only stage timing knob
+        mag_ref[:] = y_i[:, :T]
+    else:
+        win = AA_BITS * sps
+        w = jnp.abs(y_i) + jnp.abs(y_q)             # (40, ycols)
+        span = 1
+        while span < win:
+            w = w[:, : w.shape[1] - span] + w[:, span:]
+            span *= 2
+        mag_ref[:] = w[:, :T] * (1.0 / win)
 
 
 @partial(jax.jit, static_argnames=("num_taps", "has_context", "sps", "lag",
                                    "tile", "compute_dtype", "inner",
-                                   "interpret"))
-def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = 1280,
+                                   "interpret", "dev_skip"))
+def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
                    has_context: bool = False, sps: int = 4, lag: int = 4,
                    tile: int = 2048, compute_dtype: str = "f32",
-                   inner: str = "im2col", interpret: bool = False):
+                   inner: str = "im2col", interpret: bool = False,
+                   dev_skip: str = ""):
     """80 Msps wideband IQ -> per-channel (bits, hit, mag) lattices.
 
     Drop-in for channelize + scan_block per channel: returns
@@ -228,7 +235,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = 1280,
                               memory_space=pltpu.VMEM)
         x_scratch = pltpu.VMEM((8, 128), cdtype)  # unused placeholder
     kern = partial(_kernel, tile=T, width=width, sps=sps, lag=lag,
-                   inner=inner)
+                   inner=inner, dev_skip=dev_skip)
     bits, hit, mag = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -266,25 +273,48 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = 1280,
 
 @partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "num_taps",
                                    "has_context", "tile", "compute_dtype",
-                                   "inner", "interpret"))
+                                   "inner", "decode", "interpret"))
 def wideband_scan_fused(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                         adv_flags, sps: int = 4, lag: int = 4,
-                        max_candidates: int = 8, num_taps: int = 1280,
+                        max_candidates: int = 8, num_taps: int = DEFAULT_TAPS,
                         has_context: bool = False, tile: int = 2048,
                         compute_dtype: str = "f32", inner: str = "im2col",
-                        interpret: bool = False):
+                        decode: str = "pallas", interpret: bool = False):
     """Drop-in for sniffer.wideband_scan with the Pallas front end.
 
-    Same per-channel candidate dict; the AA correlation runs inside the
-    kernel (per-channel aa_rows), so only the candidate selection + CRC
-    decode remain in XLA.
+    Same per-channel candidate dict. decode="pallas" also runs the
+    per-candidate dewhiten/CRC decode on-chip (rx.pallas_decode) — the
+    XLA strided window gathers are the single most expensive stage of
+    the whole pass (one DMA per candidate window); decode="xla" keeps
+    the rx.pipeline path (used where Pallas is unavailable).
     """
-    from ..rx.pipeline import decode_from_lattice
+    from ..rx.pipeline import decode_from_lattice, earliest_hits
 
     bits, hit, mag = fused_frontend(
         i_wb, q_wb, aa_rows, aa_mask, num_taps=num_taps,
         has_context=has_context, sps=sps, lag=lag, tile=tile,
         compute_dtype=compute_dtype, inner=inner, interpret=interpret)
+
+    if decode == "pallas":
+        from ..rx.pallas_decode import decode_candidates_pallas
+
+        pos, valid, num_hits = jax.vmap(
+            lambda h: earliest_hits(h, max_candidates, 0))(hit)
+        pkt_bytes, plen, crc_match, len_ok = decode_candidates_pallas(
+            bits, pos, whiten_rows, crc_inits, adv_flags, sps=sps,
+            interpret=interpret)
+        mag_mean = jnp.take_along_axis(
+            mag, jnp.clip(pos, 0, mag.shape[1] - 1), axis=1)
+        return {
+            "pos": pos,
+            "valid": valid,
+            "payload_len": plen,
+            "len_ok": len_ok,
+            "crc_ok": crc_match & len_ok & valid,
+            "pdu_bytes": pkt_bytes,
+            "mag_mean": mag_mean,
+            "num_hits": num_hits,
+        }
 
     def one(h, b, mg, w, c, a):
         return decode_from_lattice(h, b, mg, w, c, a, sps=sps,

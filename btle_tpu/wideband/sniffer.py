@@ -22,7 +22,7 @@ from ..spec import bits as B
 from ..spec import crc24 as C
 from ..spec import whitening as W
 from ..spec.constants import ADV_ACCESS_ADDRESS_HEX
-from .channelizer import D, M, bin_to_channel, channelize
+from .channelizer import D, DEFAULT_TAPS, M, bin_to_channel, channelize
 
 CH_SPS = 4  # channelizer output is 4 Msps = 4 samples/symbol
 # Symbol-lag phase-difference decisions (the golden model's demod,
@@ -52,7 +52,7 @@ def decode_channels(i_ch, q_ch, aa_rows, aa_mask, whiten_rows, crc_inits,
                                    "has_context"))
 def wideband_scan(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                   adv_flags, sps: int = CH_SPS, lag: int = CH_LAG,
-                  max_candidates: int = 8, num_taps: int = 1280,
+                  max_candidates: int = 8, num_taps: int = DEFAULT_TAPS,
                   has_context: bool = False):
     """One fused program: 80 Msps block -> 40-channel candidate arrays.
     aa_rows: (M, 32) per-channel access-address bits (or (32,), broadcast)."""
@@ -67,7 +67,7 @@ def wideband_scan(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                                    "has_context"))
 def rescan_channel(i_wb, q_wb, slot, aa_row, aa_mask, whiten_row, crc_init,
                    adv_flag, min_pos, sps: int = CH_SPS, lag: int = CH_LAG,
-                   max_candidates: int = 8, num_taps: int = 1280,
+                   max_candidates: int = 8, num_taps: int = DEFAULT_TAPS,
                    has_context: bool = False):
     """Continue the span-eating scan of ONE channel past ``min_pos``.
 
@@ -125,7 +125,7 @@ class WidebandConfig:
     follow_connections: bool = False  # sniff CONNECT_REQ -> listen on data channels
     max_candidates: int = 16
     scan_len_ch: int = 8192          # per-channel territory (samples @4 Msps)
-    num_taps: int = 1280
+    num_taps: int = DEFAULT_TAPS  # prototype length (channelizer.DEFAULT_TAPS)
     # per-channel CRC init override for followed connections
     data_crc_init_table: int | None = None
     data_access_address_hex: str | None = None

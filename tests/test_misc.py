@@ -81,3 +81,42 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestEarliestHits:
+    def test_hierarchical_matches_flat_topk(self, rng):
+        """earliest_hits' segment-min pre-selection must be exact: any
+        segment holding one of the K earliest hits ranks among the K
+        smallest segment minima."""
+        import jax
+        import jax.numpy as jnp
+
+        from btle_tpu.rx.pipeline import earliest_hits
+
+        for trial in range(6):
+            n = [131072, 8192, 1000, 131072, 131072, 256][trial]
+            density = [1e-4, 0.3, 0.5, 0.0, 1.0, 0.1][trial]
+            hit = rng.random(n) < density
+            # clustered case: all hits in one segment
+            if trial == 3:
+                hit[5000:5040] = True
+            k = 16
+            pos, valid, num = jax.jit(
+                lambda h: earliest_hits(h, k, 0), backend="cpu"
+            )(jnp.asarray(hit))
+            want = np.flatnonzero(hit)[:k]
+            got = np.asarray(pos)[np.asarray(valid)]
+            np.testing.assert_array_equal(got, want)
+            assert int(num) == int(hit.sum())
+
+    def test_min_pos_respected(self, rng):
+        import jax.numpy as jnp
+
+        from btle_tpu.rx.pipeline import earliest_hits
+
+        hit = np.zeros(4096, bool)
+        hit[[10, 600, 3000]] = True
+        pos, valid, num = earliest_hits(jnp.asarray(hit), 4, jnp.int32(500))
+        got = np.asarray(pos)[np.asarray(valid)]
+        np.testing.assert_array_equal(got, [600, 3000])
+        assert int(num) == 2

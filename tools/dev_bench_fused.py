@@ -15,7 +15,8 @@ from functools import partial
 from btle_tpu.spec import bits as B
 from btle_tpu.spec import crc24 as C
 from btle_tpu.spec import whitening as W
-from btle_tpu.wideband.channelizer import bin_to_channel, channelize
+from btle_tpu.wideband.channelizer import DEFAULT_TAPS, bin_to_channel, channelize
+DEFAULT_TAPS = int(os.environ.get("NUM_TAPS", DEFAULT_TAPS))
 from btle_tpu.wideband.sniffer import wideband_scan, decode_channels
 from btle_tpu.wideband.fused import wideband_scan_fused, fused_frontend
 
@@ -69,7 +70,7 @@ def step_of(fn, **kw):
     @jax.jit
     def step(i, q):
         return checksum(fn(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
-                           sps=4, lag=LAG, max_candidates=max_candidates, num_taps=1280, **kw))
+                           sps=4, lag=LAG, max_candidates=max_candidates, num_taps=DEFAULT_TAPS, **kw))
     return step
 
 which = sys.argv[1] if len(sys.argv)>1 else "all"
@@ -82,16 +83,16 @@ if which in ("all","frontend"):
     @jax.jit
     def fe(i, q):
         return checksum(fused_frontend(i, q, jnp.broadcast_to(aa_bits,(40,32)), aa_mask,
-                                       num_taps=1280, sps=4, lag=LAG, tile=2048))
+                                       num_taps=DEFAULT_TAPS, sps=4, lag=LAG, tile=2048))
     measure(fe, "frontend-only-t2048")
     @jax.jit
     def chan(i, q):
-        return checksum(channelize(i, q, num_taps=1280))
+        return checksum(channelize(i, q, num_taps=DEFAULT_TAPS))
     measure(chan, "xla-channelize-only")
 if which in ("all","selectcrc"):
     from btle_tpu.rx.pipeline import decode_from_lattice
     # device-resident lattices
-    b0, h0, m0 = jax.block_until_ready(jax.jit(partial(fused_frontend, num_taps=1280, sps=4, lag=LAG, tile=2048))(
+    b0, h0, m0 = jax.block_until_ready(jax.jit(partial(fused_frontend, num_taps=DEFAULT_TAPS, sps=4, lag=LAG, tile=2048))(
         blocks[0][0], blocks[0][1], jnp.broadcast_to(aa_bits,(40,32)), aa_mask))
     @jax.jit
     def sel(i, q):
@@ -110,7 +111,7 @@ if which in ("all","tiles","bf16"):
 if which == "selparts":
     from btle_tpu.rx.pipeline import earliest_hits, _decode_candidate, AA_BITS
     from btle_tpu.spec.crc24 import CRC24_TABLE
-    b0, h0, m0 = jax.block_until_ready(jax.jit(partial(fused_frontend, num_taps=1280, sps=4, lag=LAG, tile=2048))(
+    b0, h0, m0 = jax.block_until_ready(jax.jit(partial(fused_frontend, num_taps=DEFAULT_TAPS, sps=4, lag=LAG, tile=2048))(
         blocks[0][0], blocks[0][1], jnp.broadcast_to(aa_bits,(40,32)), aa_mask))
     @jax.jit
     def just_topk(i, q):
@@ -140,7 +141,7 @@ if which == "selparts":
 
 if which == "gather":
     from btle_tpu.rx.pipeline import MAX_PDU_CRC_BITS
-    b0, h0, m0 = jax.block_until_ready(jax.jit(partial(fused_frontend, num_taps=1280, sps=4, lag=LAG, tile=2048))(
+    b0, h0, m0 = jax.block_until_ready(jax.jit(partial(fused_frontend, num_taps=DEFAULT_TAPS, sps=4, lag=LAG, tile=2048))(
         blocks[0][0], blocks[0][1], jnp.broadcast_to(aa_bits,(40,32)), aa_mask))
     pos0 = jnp.zeros((40, max_candidates), jnp.int32) + jnp.arange(max_candidates, dtype=jnp.int32)[None,:]*3777
     @jax.jit
@@ -163,3 +164,60 @@ if which == "gather":
             return jax.vmap(g)(posr)
         return checksum(jax.vmap(one)(b0, pos))
     measure(just_gather_ds, "bit-window-dynslice")
+
+if which == "split":
+    def fe_of(**kw):
+        @jax.jit
+        def fe(i, q):
+            return checksum(fused_frontend(i, q, jnp.broadcast_to(aa_bits,(40,32)), aa_mask,
+                                           num_taps=DEFAULT_TAPS, sps=4, lag=LAG, **kw))
+        return fe
+    measure(fe_of(tile=2048, dev_skip="aamag"), "fe-matmul+demod-only")
+    measure(fe_of(tile=2048, dev_skip="mag"), "fe-no-mag")
+    measure(fe_of(tile=4096), "fe-t4096")
+    measure(fe_of(tile=2048, compute_dtype="bf16"), "fe-bf16")
+
+if which == "taps":
+    def fe_of(**kw):
+        @jax.jit
+        def fe(i, q):
+            return checksum(fused_frontend(i, q, jnp.broadcast_to(aa_bits,(40,32)), aa_mask,
+                                           sps=4, lag=LAG, **kw))
+        return fe
+    for nt in (800, 1280):
+        measure(fe_of(tile=2048, num_taps=nt), f"fe-taps{nt}")
+        measure(fe_of(tile=2048, num_taps=nt, inner="dots"), f"fe-dots-taps{nt}")
+
+if which == "tune":
+    for kw, name in [
+        (dict(tile=2048), "full-t2048"),
+        (dict(tile=1024), "full-t1024"),
+        (dict(tile=4096, inner="dots"), "full-t4096-dots"),
+        (dict(tile=2048, compute_dtype="bf16"), "full-t2048-bf16"),
+    ]:
+        try:
+            measure(step_of(wideband_scan_fused, **kw), name)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}", flush=True)
+    # fetch amortization: same config, more dispatches per fetch
+    s = step_of(wideband_scan_fused, tile=2048)
+    measure(s, "full-t2048-iters96", iters=96, trials=3)
+
+if which == "pipelined":
+    s = step_of(wideband_scan_fused, tile=2048)
+    t0=time.perf_counter()
+    float(fold([s(*b) for b in blocks[:2]]))
+    print(f"pipelined: compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+    iters, nbatches = 24, 12
+    prev = [s(*blocks[k % len(blocks)]) for k in range(iters)]
+    t0 = time.perf_counter()
+    done = 0
+    for b in range(nbatches):
+        cur = [s(*blocks[(b+k) % len(blocks)]) for k in range(iters)]
+        float(fold(prev))   # forces the PREVIOUS batch while cur runs
+        prev = cur
+        done += iters
+    float(fold(prev)); done += 0  # last batch outside the timed window? include:
+    dt = time.perf_counter() - t0
+    msps = scan_len_ch*20*done/dt/1e6
+    print(f"pipelined: {done} blocks in {dt:.3f}s -> {1000*dt/done:.2f} ms/block, {msps:.0f} Msps ({msps/800:.2f}x)", flush=True)
