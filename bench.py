@@ -38,9 +38,11 @@ def main():
     from btle_tpu.wideband.sniffer import CH_LAG, wideband_scan
 
     # 131072 channel-samples per block (~33 ms of air) amortizes dispatch
-    # overhead; candidate capacity scales with the block.
+    # overhead; 16 candidate slots per channel per block is the
+    # production default (WidebandConfig.max_candidates — slot overflow
+    # falls back to the sniffer's rescan path).
     scan_len_ch = 131072
-    max_candidates = 32
+    max_candidates = 16
     halo_ch = 1473
     n_wb = (scan_len_ch + halo_ch) * 20
 
@@ -102,9 +104,11 @@ def main():
         float(fold([step(*b) for b in blocks[:2]]))
 
     # timed: async pipeline over rotating distinct blocks; each trial is
-    # forced by ONE host fetch of the folded checksum. Median of 5
-    # trials absorbs tunnel/scheduler jitter.
-    iters = 24
+    # forced by ONE host fetch of the folded checksum (the ~27 ms tunnel
+    # fetch amortizes to ~0.14 ms/block at 192 dispatches — production
+    # streaming overlaps result fetches with the next blocks' compute).
+    # Median of 5 trials absorbs tunnel/scheduler jitter.
+    iters = 192
     rates = []
     for _ in range(5):
         t0 = time.perf_counter()

@@ -103,8 +103,8 @@ def _fcols(tile: int, width: int, sps: int, lag: int) -> int:
 
 
 def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
-            fbuf, xbuf, sem, *, tile: int, width: int, sps: int, lag: int,
-            inner: str, dev_skip: str = ""):
+            fbuf, xbuf, sem, *, tile: int, width: int, sps: int,
+            lag: int, inner: str, dev_skip: str = ""):
     T = tile
     ycols = _ycols(T, sps, lag)
     i = pl.program_id(0)

@@ -170,3 +170,31 @@ def test_fused_has_context_streaming(rng):
         np.testing.assert_array_equal(
             np.asarray(ref[key]), np.asarray(out[key]), err_msg=key)
     assert int(np.asarray(ref["crc_ok"]).sum()) >= 1
+
+
+def test_sniffer_fused_streaming_parity(rng):
+    """WidebandSniffer with cfg.fused=True produces the same packet list
+    as the XLA path across streamed blocks (context carry + span-eating
+    + cursor logic all exercised)."""
+    from btle_tpu.wideband import WidebandConfig, WidebandSniffer
+
+    signals, offsets = {}, {}
+    for k, ch in enumerate((37, 5, 21, 38)):
+        signals[ch] = _burst(rng, ch, n_payload=10 + k)
+        offsets[ch] = 50000 + 140000 * k
+    wi, wq = synthesize_wideband(signals, 700000, offsets)
+    wi += rng.normal(0, 0.01, wi.shape).astype(np.float32)
+    wq += rng.normal(0, 0.01, wq.shape).astype(np.float32)
+
+    def run(fused):
+        sn = WidebandSniffer(WidebandConfig(scan_len_ch=8192, fused=fused,
+                                            fused_tile=512))
+        with pltpu.force_tpu_interpret_mode():
+            pkts = sn.run(wi, wq)
+        return [(p.channel, p.sample_pos, p.payload_len, p.crc_ok,
+                 p.pdu_bytes.tobytes()) for p in pkts]
+
+    ref = run(False)
+    got = run(True)
+    assert len([p for p in ref if p[3]]) >= 4
+    assert ref == got

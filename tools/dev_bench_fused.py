@@ -221,3 +221,13 @@ if which == "pipelined":
     dt = time.perf_counter() - t0
     msps = scan_len_ch*20*done/dt/1e6
     print(f"pipelined: {done} blocks in {dt:.3f}s -> {1000*dt/done:.2f} ms/block, {msps:.0f} Msps ({msps/800:.2f}x)", flush=True)
+
+if which == "tune2":
+    # production-default candidate count + deep fetch amortization
+    @jax.jit
+    def step16(i, q):
+        out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                  sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS, tile=2048)
+        return checksum(out)
+    measure(step16, "full-t2048-cand16-iters192", iters=192, trials=3)
+    measure(step16, "full-t2048-cand16-iters96", iters=96, trials=3)
