@@ -174,7 +174,8 @@ def cmd_wideband(args):
                                         "f32": np.float32}[args.format])
     i_wb = data[0::2].astype(np.float32)
     q_wb = data[1::2].astype(np.float32)
-    sn = WidebandSniffer(WidebandConfig(follow_connections=args.follow))
+    sn = WidebandSniffer(WidebandConfig(follow_connections=args.follow,
+                                        fused=args.fused))
     pkts = sn.run(i_wb, q_wb)
     pcap = PcapWriter(args.pcap) if args.pcap else None
     for p in pkts:
@@ -383,6 +384,8 @@ def build_parser():
     p.add_argument("--pcap", default=None)
     p.add_argument("--follow", action="store_true",
                    help="follow CONNECT_REQs onto the data channels")
+    p.add_argument("--fused", action="store_true",
+                   help="use the fused Pallas front end (TPU hardware)")
     p.set_defaults(fn=cmd_wideband)
 
     p = sub.add_parser("tx", help="synthesize packets to an IQ file")

@@ -87,7 +87,9 @@ class ShardedWidebandScan:
     def __init__(self, mesh: Mesh, block_wb: int, num_taps: int = DEFAULT_TAPS,
                  max_candidates: int = 16,
                  access_address_hex: str = "D6BE898E",
-                 crc_init_hex: str = "555555"):
+                 crc_init_hex: str = "555555",
+                 fused: bool = False, fused_tile: int = 2048,
+                 fused_interpret: bool = False):
         self.mesh = mesh
         self.n_ch = mesh.shape["ch"]
         self.n_time = mesh.shape["time"]
@@ -95,6 +97,17 @@ class ShardedWidebandScan:
             raise ValueError("channel-axis size must divide 40")
         if block_wb % D:
             raise ValueError("block_wb must be a multiple of the decimation")
+        # Fused per-device pipeline (wideband.fused): each device runs the
+        # whole 40-channel Pallas front end on its time shard, so the mesh
+        # is pure time-parallel — the preferred production layout now that
+        # one chip holds all 40 channels at >10x real time (PERF.md); the
+        # branch-split ch-axis path remains for memory-constrained or
+        # experimental layouts.
+        if fused and self.n_ch != 1:
+            raise ValueError("fused sharding is time-parallel (n_ch must be 1)")
+        self.fused = fused
+        self.fused_tile = fused_tile
+        self.fused_interpret = fused_interpret
         self.block_wb = block_wb
         self.num_taps = num_taps
         self.max_candidates = max_candidates
@@ -169,6 +182,19 @@ class ShardedWidebandScan:
             ctx_q = jnp.where(first, jnp.zeros_like(ctx_q), ctx_q)
             xi_h = jnp.concatenate([ctx_i, xi, head_i])
             xq_h = jnp.concatenate([ctx_q, xq, head_q])
+
+            if self.fused:
+                # time-parallel fused pipeline: this device runs the whole
+                # 40-channel Pallas front end + on-chip candidate decode
+                # (wideband.fused) on its own shard
+                from ..wideband.fused import wideband_scan_fused
+
+                out = wideband_scan_fused(
+                    xi_h, xq_h, aa_rows, aa_mask, whiten, crc_inits,
+                    adv_flags, sps=CH_SPS, lag=CH_LAG, max_candidates=maxc,
+                    num_taps=num_taps, has_context=True,
+                    tile=self.fused_tile, interpret=self.fused_interpret)
+                return {k: v[None] for k, v in out.items()}
 
             # ---- branch-split polyphase conv (this device's branches):
             # frame the padded stream into the D decimated columns, gather

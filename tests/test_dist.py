@@ -131,3 +131,55 @@ class TestShardedConnectionFollow:
 
         assert [p.channel for p in pkts2] == [14]
         np.testing.assert_array_equal(pkts2[0].pdu_bytes, bits_to_bytes(d1))
+
+
+class TestFusedSharded:
+    """Time-parallel fused sharding (Pallas front end per device)."""
+
+    def test_fused_matches_xla_sharded(self, scene):
+        from jax.experimental.pallas import tpu as pltpu
+
+        wi, wq, expected, chans = scene
+        mesh = make_mesh(1, 4)
+        ref = ShardedWidebandScan(mesh, block_wb=len(wi) // 4)
+        got = ShardedWidebandScan(mesh, block_wb=len(wi) // 4, fused=True,
+                                  fused_tile=512, fused_interpret=True)
+        with pltpu.force_tpu_interpret_mode():
+            pr = ref.gather_packets(ref(wi, wq))
+            pg = got.gather_packets(got(wi, wq))
+        assert _key(pg) == _key(pr)
+        assert len(_key(pr)) == len(chans)
+
+    def test_fused_boundary_straddling(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        rng = np.random.default_rng(3)
+        signals, expected = {}, {}
+        signals[38], expected[38] = make_channel_burst(rng, 38, n_payload=20)
+        n_time = 4
+        n = 160000 * n_time
+        # straddle every shard boundary
+        offsets = {}
+        wi = np.zeros(n, np.float32)
+        wq = np.zeros(n, np.float32)
+        burst_len = len(signals[38][0])
+        for b in range(1, n_time):
+            s, e = synthesize_wideband({38: signals[38]}, burst_len,
+                                       {38: 0})
+            at = b * 160000 - burst_len // 2
+            wi[at : at + burst_len] += s
+            wq[at : at + burst_len] += e
+        mesh = make_mesh(1, n_time)
+        scan = ShardedWidebandScan(mesh, block_wb=160000, fused=True,
+                                   fused_tile=512, fused_interpret=True)
+        with pltpu.force_tpu_interpret_mode():
+            pkts = scan.gather_packets(scan(wi, wq))
+        ok = [p for p in pkts if p.crc_ok]
+        assert len(ok) == n_time - 1
+        for p in ok:
+            assert bytes(p.pdu_bytes) == bytes(expected[38])
+
+    def test_fused_requires_time_parallel_mesh(self):
+        mesh = make_mesh(2, 4)
+        with pytest.raises(ValueError, match="time-parallel"):
+            ShardedWidebandScan(mesh, block_wb=20000, fused=True)
