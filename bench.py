@@ -95,7 +95,12 @@ def main():
     import sys
 
     try:
-        step = make_step(wideband_scan_fused)
+        # production mode: fused Pallas pipeline with the bf16 hi/lo
+        # weight pair — exact-ish filter response (~-96 dB), bf16
+        # operands (exact for int8 SDR sources). See PERF.md for the
+        # dynamic-range / throughput ladder incl. the HIGHEST-precision
+        # f32 mode.
+        step = make_step(wideband_scan_fused, compute_dtype="bf16x2w")
         float(fold([step(*b) for b in blocks[:2]]))  # compile + warm up
     except Exception as e:  # pragma: no cover - fallback path
         print(f"# fused front end unavailable ({type(e).__name__}); "

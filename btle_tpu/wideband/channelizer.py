@@ -217,6 +217,7 @@ def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = Fa
             window_strides=(1,), padding="VALID",
             dimension_numbers=("NCW", "OIW", "NCW"),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )[0]                                           # (80, K)
         y_i, y_q = y[:M], y[M:]
     else:
@@ -225,22 +226,26 @@ def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = Fa
         # the 40-point DFT as matmuls
         lhs = jnp.swapaxes(frames, 1, 2)               # (2, 20, J)
         kern, row_of_p = _poly_kernel(num_taps)
+        # precision HIGHEST: at DEFAULT the TPU lowers f32 convs to one
+        # bf16 pass (~-48 dB effective stopband -> cross-channel ghosts)
         u = jax.lax.conv_general_dilated(
             lhs.astype(_CONV_DTYPE), jnp.asarray(kern).astype(_CONV_DTYPE),
             window_strides=(1,), padding="VALID",
             dimension_numbers=("NCW", "OIW", "NCW"),
             feature_group_count=D,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                              # (2, M, K)
         u = jnp.take(u, jnp.asarray(row_of_p), axis=1)
         er, ei = _dft_matrix()
         er = jnp.asarray(er)
         ei = jnp.asarray(ei)
         u_i, u_q = u[0], u[1]
-        y_i = jnp.dot(er, u_i, preferred_element_type=jnp.float32) - jnp.dot(
-            ei, u_q, preferred_element_type=jnp.float32)
-        y_q = jnp.dot(er, u_q, preferred_element_type=jnp.float32) + jnp.dot(
-            ei, u_i, preferred_element_type=jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        y_i = (jnp.dot(er, u_i, preferred_element_type=jnp.float32, precision=hp)
+               - jnp.dot(ei, u_q, preferred_element_type=jnp.float32, precision=hp))
+        y_q = (jnp.dot(er, u_q, preferred_element_type=jnp.float32, precision=hp)
+               + jnp.dot(ei, u_i, preferred_element_type=jnp.float32, precision=hp))
 
     # (-1)^(m k) correction from D = M/2
     k_idx = jnp.arange(y_i.shape[1])

@@ -50,6 +50,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .channelizer import D, DEFAULT_TAPS, M, _fused_kernel
 
 AA_BITS = 32
+# TPU MXU precision for the filterbank matmuls. DEFAULT lowers f32
+# operands to ONE bf16 pass on hardware — a ~-48 dB effective stopband
+# that ghosts strong bursts into other channels (extra CRC-rejected AA
+# hits). HIGHEST uses the multi-pass f32 algorithm and restores the
+# prototype's real stopband. (The CRC/byte-pack matmuls elsewhere are
+# exact at any precision: 0/1 and power-of-two operands are
+# bf16-representable and accumulation is f32.)
+_FILTER_PRECISION = jax.lax.Precision.HIGHEST
 
 
 N_CHUNKS = 5  # im2col chunking of the shift axis (width 65 -> 5 x 13)
@@ -87,6 +95,23 @@ def _g_chunks(num_taps: int) -> np.ndarray:
     return np.ascontiguousarray(gc)
 
 
+@lru_cache(maxsize=None)
+def _g_chunks_hilo(num_taps: int) -> np.ndarray:
+    """(2*N_CHUNKS, 80, chunk*40) bf16 hi/lo im2col weight pair.
+
+    gc = hi + lo exactly, with both halves bf16-representable: two
+    DEFAULT-precision MXU passes then evaluate the filterbank with
+    ~f32-faithful WEIGHTS (~-96 dB response error) while operands stay
+    bf16 (1 pass each). Chunk order: all hi chunks, then all lo chunks.
+    """
+    import ml_dtypes
+
+    gc = _g_chunks(num_taps).astype(np.float32)
+    hi = gc.astype(ml_dtypes.bfloat16).astype(np.float32)
+    lo = (gc - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
+    return np.ascontiguousarray(np.concatenate([hi, lo], axis=0))
+
+
 def _ycols(tile: int, sps: int, lag: int) -> int:
     """y columns needed per tile: the AA correlation span plus demod lag,
     or the RSSI window (32*sps), whichever reaches further."""
@@ -116,8 +141,12 @@ def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
     # filterbank + DFT on the MXU
     if inner == "im2col":
         # chunked im2col: contract (2M, chunk*40) x (chunk*40, ycols) —
-        # ~4x better MXU utilization than per-shift 40-deep dots
+        # ~4x better MXU utilization than per-shift 40-deep dots.
+        # hilo mode: g_ref holds a bf16 hi/lo weight pair (two
+        # DEFAULT-precision passes per chunk -> exact-ish weights).
+        hilo = g_ref.shape[0] == 2 * N_CHUNKS
         chunk = g_ref.shape[2] // (2 * D)
+        prec = (jax.lax.Precision.DEFAULT if hilo else _FILTER_PRECISION)
         y = jnp.zeros((2 * M, ycols), jnp.float32)
         for c in range(N_CHUNKS):
             for j in range(chunk):
@@ -127,7 +156,15 @@ def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
                 g_ref[c], xbuf[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             )
+            if hilo:
+                y = y + jax.lax.dot_general(
+                    g_ref[N_CHUNKS + c], xbuf[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
     else:
         # per-shift accumulating dots (simplest correct form)
         F = fbuf[:, : ycols + width - 1]
@@ -137,6 +174,7 @@ def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
                 g_ref[s], F[:, s : s + ycols],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_FILTER_PRECISION,
             )
     y_i, y_q = y[:M], y[M:]
 
@@ -179,7 +217,7 @@ def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
                                    "interpret", "dev_skip"))
 def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
                    has_context: bool = False, sps: int = 4, lag: int = 4,
-                   tile: int = 2048, compute_dtype: str = "f32",
+                   tile: int = 1024, compute_dtype: str = "f32",
                    inner: str = "im2col", interpret: bool = False,
                    dev_skip: str = ""):
     """80 Msps wideband IQ -> per-channel (bits, hit, mag) lattices.
@@ -193,7 +231,10 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     """
     win = AA_BITS * sps
     assert win & (win - 1) == 0, "RSSI doubling loop needs 32*sps power of 2"
-    cdtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+    hilo = compute_dtype == "bf16x2w"
+    assert not (hilo and inner != "im2col"), "bf16x2w needs the im2col inner"
+    cdtype = (jnp.bfloat16 if compute_dtype in ("bf16", "bf16x2w")
+              else jnp.float32)
     g = _g_stack(num_taps)
     width = g.shape[0]
 
@@ -224,9 +265,10 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     n_mask = jnp.sum(aa_mask.astype(jnp.float32)).reshape(1, 1)
 
     if inner == "im2col":
-        gk = jnp.asarray(_g_chunks(num_taps), cdtype)
+        gk = jnp.asarray(_g_chunks_hilo(num_taps) if hilo
+                         else _g_chunks(num_taps), cdtype)
         chunk = gk.shape[2] // (2 * D)
-        g_spec = pl.BlockSpec((N_CHUNKS, 2 * M, chunk * 2 * D),
+        g_spec = pl.BlockSpec((gk.shape[0], 2 * M, chunk * 2 * D),
                               lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
         x_scratch = pltpu.VMEM((chunk * 2 * D, _ycols(T, sps, lag)), cdtype)
     else:
@@ -277,7 +319,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
 def wideband_scan_fused(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                         adv_flags, sps: int = 4, lag: int = 4,
                         max_candidates: int = 8, num_taps: int = DEFAULT_TAPS,
-                        has_context: bool = False, tile: int = 2048,
+                        has_context: bool = False, tile: int = 1024,
                         compute_dtype: str = "f32", inner: str = "im2col",
                         decode: str = "pallas", interpret: bool = False):
     """Drop-in for sniffer.wideband_scan with the Pallas front end.

@@ -134,7 +134,11 @@ class WidebandConfig:
     # Off by default (the XLA path runs everywhere incl. CPU); bench.py
     # and TPU deployments turn it on.
     fused: bool = False
-    fused_tile: int = 2048
+    fused_tile: int = 1024
+    # "f32": exact filterbank (Precision.HIGHEST on TPU, ~-100 dB);
+    # "bf16x2w": bf16 hi/lo weight pair + bf16 operands — the bench's
+    # production-throughput mode (see PERF.md dynamic-range ladder)
+    fused_dtype: str = "f32"
 
 
 @dataclass
@@ -238,6 +242,7 @@ class WidebandSniffer:
                 max_candidates=self.cfg.max_candidates,
                 num_taps=self.cfg.num_taps, has_context=True,
                 tile=self.cfg.fused_tile,
+                compute_dtype=self.cfg.fused_dtype,
             )
         else:
             out = wideband_scan(

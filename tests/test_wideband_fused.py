@@ -198,3 +198,29 @@ def test_sniffer_fused_streaming_parity(rng):
     got = run(True)
     assert len([p for p in ref if p[3]]) >= 4
     assert ref == got
+
+
+def test_fused_bf16x2w_packet_set(rng):
+    """Production-throughput mode: bf16 hi/lo weight pair (filter
+    response faithful to ~-96 dB) with bf16 operands. Criterion is
+    packet-level (the reference's own parity notion): identical CRC-OK
+    packet set; slot-exact equality is not required (operand rounding
+    can flip noise decisions)."""
+    wi, wq = _wideband(rng)
+    aa, mask, whiten, crc, adv = _tables()
+    ref = wideband_scan(jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten,
+                        crc, adv, sps=4, lag=4, max_candidates=8)
+    with pltpu.force_tpu_interpret_mode():
+        out = wideband_scan_fused(
+            jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten, crc, adv,
+            sps=4, lag=4, max_candidates=8, tile=512,
+            compute_dtype="bf16x2w", interpret=True)
+
+    def pkt_set(o):
+        o = {k: np.asarray(v) for k, v in o.items()}
+        return {(int(m), bytes(o["pdu_bytes"][m, k, : 2 + int(o["payload_len"][m, k]) + 3]
+                               .astype(np.uint8)))
+                for m, k in np.argwhere(o["crc_ok"])}
+
+    assert pkt_set(out) == pkt_set(ref)
+    assert len(pkt_set(out)) >= 4
