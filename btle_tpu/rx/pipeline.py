@@ -127,8 +127,9 @@ def earliest_hits(hit, max_candidates: int, min_pos):
     seg = 128
     n_segs = -(-npos // seg)
     k_seg = min(max_candidates, n_segs)
-    if n_segs * seg == npos and k_seg < n_segs:
-        m2 = masked.reshape(n_segs, seg)
+    if k_seg < n_segs:
+        m2 = jnp.pad(masked, (0, n_segs * seg - npos),
+                     constant_values=big).reshape(n_segs, seg)
         _, seg_idx = jax.lax.top_k(-jnp.min(m2, axis=1), k_seg)
         flat = m2[seg_idx].reshape(-1)
     else:

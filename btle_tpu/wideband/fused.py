@@ -29,12 +29,17 @@ with odd lag it is a constant per-channel decision flip — so the kernel
 never applies it to y at all (odd-m rows compare d < 0 instead; |y| is
 sign-invariant for the RSSI sums).
 
-Numerics: the filterbank is evaluated in f32 (default) or bf16 with f32
-accumulation. Either way the result is float-close, not bit-identical,
-to the XLA path (different contraction order), so decisions can differ
-where |d| ~ 0 — i.e. in noise, never inside a packet above sensitivity;
-the parity tests assert identical packet sets and the sensitivity suite
-passes at the BER anchors.
+Numerics (compute_dtype; see PERF.md's dynamic-range ladder): "f32"
+evaluates the filterbank at Precision.HIGHEST (the MXU's DEFAULT would
+silently run ONE bf16 pass) — float-close, not bit-identical, to the
+XLA path (different contraction order), so decisions can differ where
+|d| ~ 1e-9 (pure-noise float ties). "bf16x2w" is the production
+throughput mode: the weights as an exact bf16 hi/lo pair (~-96 dB
+faithful filter response) with bf16 operands — exact for int8 SDR wire
+formats, -48 dB noise-like input rounding otherwise; packet-set
+identical to the exact mode (tools/validate_fused_tpu.py on hardware).
+"bf16" quantizes the weights too (~-48 dB coherent stopband — strong
+bursts ghost CRC-rejected AA hits into other channels).
 """
 
 from __future__ import annotations
