@@ -70,6 +70,9 @@ uint64_t iq_ring_dropped(IqRing* r) { return r->dropped.load(std::memory_order_r
 uint64_t iq_ring_total_written(IqRing* r) { return r->wr.load(std::memory_order_relaxed); }
 
 // Generic write of deinterleaved pairs. Drops (counts) when full.
+// Copies are split at the wrap point into (at most two) contiguous
+// memcpys — per-element masked indexing defeats vectorization and caps
+// the ring ~3x BELOW the 80 Msps wideband rate (measured).
 static uint64_t ring_write(IqRing* r, const int16_t* i_in, const int16_t* q_in, size_t n) {
     uint64_t wr = r->wr.load(std::memory_order_relaxed);
     uint64_t rd = r->rd.load(std::memory_order_acquire);
@@ -78,13 +81,32 @@ static uint64_t ring_write(IqRing* r, const int16_t* i_in, const int16_t* q_in, 
         r->dropped.fetch_add(n - space, std::memory_order_relaxed);
         n = space;
     }
-    for (size_t k = 0; k < n; k++) {
-        size_t idx = (size_t)(wr + k) & r->mask;
-        r->i_buf[idx] = i_in[k];
-        r->q_buf[idx] = q_in[k];
+    size_t at = (size_t)wr & r->mask;
+    size_t first = r->capacity - at;
+    if (first > n) first = n;
+    memcpy(r->i_buf + at, i_in, first * sizeof(int16_t));
+    memcpy(r->q_buf + at, q_in, first * sizeof(int16_t));
+    if (n > first) {
+        memcpy(r->i_buf, i_in + first, (n - first) * sizeof(int16_t));
+        memcpy(r->q_buf, q_in + first, (n - first) * sizeof(int16_t));
     }
     r->wr.store(wr + n, std::memory_order_release);
     return n;
+}
+
+// Contiguous (wrap-split) copy out of the ring starting at absolute
+// position `from`, n pairs.
+static void ring_copy_out(IqRing* r, uint64_t from, int16_t* i_out,
+                          int16_t* q_out, size_t n) {
+    size_t at = (size_t)from & r->mask;
+    size_t first = r->capacity - at;
+    if (first > n) first = n;
+    memcpy(i_out, r->i_buf + at, first * sizeof(int16_t));
+    memcpy(q_out, r->q_buf + at, first * sizeof(int16_t));
+    if (n > first) {
+        memcpy(i_out + first, r->i_buf, (n - first) * sizeof(int16_t));
+        memcpy(q_out + first, r->q_buf, (n - first) * sizeof(int16_t));
+    }
 }
 
 uint64_t iq_ring_write_i8(IqRing* r, const int8_t* interleaved, size_t n_pairs) {
@@ -152,11 +174,7 @@ uint64_t iq_ring_read_block(IqRing* r, int16_t* i_out, int16_t* q_out,
     uint64_t rd = r->rd.load(std::memory_order_relaxed);
     uint64_t wr = r->wr.load(std::memory_order_acquire);
     if ((size_t)(wr - rd) < need) return 0;
-    for (size_t k = 0; k < need; k++) {
-        size_t idx = (size_t)(rd + k) & r->mask;
-        i_out[k] = r->i_buf[idx];
-        q_out[k] = r->q_buf[idx];
-    }
+    ring_copy_out(r, rd, i_out, q_out, need);
     r->rd.store(rd + scan_len, std::memory_order_release);
     return need;
 }
@@ -167,11 +185,7 @@ uint64_t iq_ring_drain(IqRing* r, int16_t* i_out, int16_t* q_out, size_t max_pai
     uint64_t wr = r->wr.load(std::memory_order_acquire);
     size_t n = (size_t)(wr - rd);
     if (n > max_pairs) n = max_pairs;
-    for (size_t k = 0; k < n; k++) {
-        size_t idx = (size_t)(rd + k) & r->mask;
-        i_out[k] = r->i_buf[idx];
-        q_out[k] = r->q_buf[idx];
-    }
+    ring_copy_out(r, rd, i_out, q_out, n);
     r->rd.store(rd + n, std::memory_order_release);
     return n;
 }
