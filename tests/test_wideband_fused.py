@@ -224,3 +224,54 @@ def test_fused_bf16x2w_packet_set(rng):
 
     assert pkt_set(out) == pkt_set(ref)
     assert len(pkt_set(out)) >= 4
+
+
+def test_fused_per_channel_aa_rows(rng):
+    """Distinct AA/CRC-init per channel (the followed-connection re-key
+    path): data-channel packets with a sniffed AA decode next to the
+    advertising channels, slot-exact vs the XLA path."""
+    conn_aa = 0x50655535
+    conn_aa_hex = int(conn_aa).to_bytes(4, "little").hex()
+    crc_init_lfsr = "a1b2c3"
+
+    signals, offsets = {}, {}
+    # adv packet on 37, data packets on two data channels with the conn AA
+    signals[37] = _burst(rng, 37)
+    offsets[37] = 3000
+    for k, ch in enumerate((4, 22)):
+        payload = rng.integers(0, 256, 9, dtype=np.uint8)
+        pdu = B.bytes_to_bits(
+            np.concatenate([[0x01, 9], payload]).astype(np.uint8))
+        phy = G.assemble_phy_bits(pdu, ch, access_address_hex=conn_aa_hex,
+                                  crc_init_hex=crc_init_lfsr)
+        signals[ch] = G.gfsk_modulate_float(phy, 80)
+        offsets[ch] = 25000 + 20000 * k
+    wi, wq = synthesize_wideband(signals, 90000, offsets)
+    wi += rng.normal(0, 0.01, wi.shape).astype(np.float32)
+    wq += rng.normal(0, 0.01, wq.shape).astype(np.float32)
+
+    _, mask, whiten, _, adv = _tables()
+    aa_rows = np.tile(B.hex_to_bits("d6be898e"), (40, 1))
+    crc_rows = np.full(40, C.lfsr_init_to_table_init("555555"), np.int32)
+    conn_bits = B.hex_to_bits(conn_aa_hex)
+    conn_crc = C.lfsr_init_to_table_init(crc_init_lfsr)
+    for m in range(40):
+        if bin_to_channel(m) not in (37, 38, 39):
+            aa_rows[m] = conn_bits
+            crc_rows[m] = conn_crc
+    aa_rows = jnp.asarray(aa_rows)
+    crc_rows = jnp.asarray(crc_rows)
+
+    ref = wideband_scan(jnp.asarray(wi), jnp.asarray(wq), aa_rows, mask,
+                        whiten, crc_rows, adv, sps=4, lag=4, max_candidates=8)
+    with pltpu.force_tpu_interpret_mode():
+        out = wideband_scan_fused(
+            jnp.asarray(wi), jnp.asarray(wq), aa_rows, mask, whiten,
+            crc_rows, adv, sps=4, lag=4, max_candidates=8, tile=512,
+            interpret=True)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+    out = {k: np.asarray(v) for k, v in out.items()}
+    for key in ("pos", "valid", "crc_ok", "payload_len"):
+        np.testing.assert_array_equal(ref[key], out[key], err_msg=key)
+    got = {bin_to_channel(int(m)) for m, k in np.argwhere(out["crc_ok"])}
+    assert {37, 4, 22} <= got

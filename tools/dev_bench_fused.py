@@ -231,3 +231,13 @@ if which == "tune2":
         return checksum(out)
     measure(step16, "full-t2048-cand16-iters192", iters=192, trials=3)
     measure(step16, "full-t2048-cand16-iters96", iters=96, trials=3)
+
+if which == "tune3":
+    for tile in (1024, 2048, 3072, 4096):
+        @jax.jit
+        def stepw(i, q, _t=tile):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                      tile=_t, compute_dtype="bf16x2w")
+            return checksum(out)
+        measure(stepw, f"bf16x2w-t{tile}", iters=192, trials=3)
