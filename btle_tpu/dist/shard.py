@@ -88,7 +88,7 @@ class ShardedWidebandScan:
                  max_candidates: int = 16,
                  access_address_hex: str = "D6BE898E",
                  crc_init_hex: str = "555555",
-                 fused: bool = False, fused_tile: int = 1024,
+                 fused: bool = False, fused_tile: int | None = None,
                  fused_interpret: bool = False):
         self.mesh = mesh
         self.n_ch = mesh.shape["ch"]

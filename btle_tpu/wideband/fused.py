@@ -217,12 +217,20 @@ def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
         mag_ref[:] = w[:, :T] * (1.0 / win)
 
 
+def _default_tile(compute_dtype: str) -> int:
+    """Largest measured-fastest time tile that fits VMEM per mode: bf16
+    operand storage halves the frame scratch, so the bf16 modes take a
+    2048-frame tile (1003 vs 911 Msps at 1024 on v5e; 4096 regresses);
+    f32 operands stay at 1024."""
+    return 2048 if compute_dtype in ("bf16", "bf16x2w") else 1024
+
+
 @partial(jax.jit, static_argnames=("num_taps", "has_context", "sps", "lag",
                                    "tile", "compute_dtype", "inner",
                                    "interpret", "dev_skip"))
 def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
                    has_context: bool = False, sps: int = 4, lag: int = 4,
-                   tile: int = 1024, compute_dtype: str = "f32",
+                   tile: int | None = None, compute_dtype: str = "f32",
                    inner: str = "im2col", interpret: bool = False,
                    dev_skip: str = ""):
     """80 Msps wideband IQ -> per-channel (bits, hit, mag) lattices.
@@ -236,6 +244,8 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     """
     win = AA_BITS * sps
     assert win & (win - 1) == 0, "RSSI doubling loop needs 32*sps power of 2"
+    if tile is None:
+        tile = _default_tile(compute_dtype)
     hilo = compute_dtype == "bf16x2w"
     assert not (hilo and inner != "im2col"), "bf16x2w needs the im2col inner"
     cdtype = (jnp.bfloat16 if compute_dtype in ("bf16", "bf16x2w")
@@ -324,7 +334,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
 def wideband_scan_fused(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                         adv_flags, sps: int = 4, lag: int = 4,
                         max_candidates: int = 8, num_taps: int = DEFAULT_TAPS,
-                        has_context: bool = False, tile: int = 1024,
+                        has_context: bool = False, tile: int | None = None,
                         compute_dtype: str = "f32", inner: str = "im2col",
                         decode: str = "pallas", interpret: bool = False):
     """Drop-in for sniffer.wideband_scan with the Pallas front end.

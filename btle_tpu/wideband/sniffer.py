@@ -134,7 +134,8 @@ class WidebandConfig:
     # Off by default (the XLA path runs everywhere incl. CPU); bench.py
     # and TPU deployments turn it on.
     fused: bool = False
-    fused_tile: int = 1024
+    # None = per-dtype measured default (fused._default_tile)
+    fused_tile: int | None = None
     # "f32": exact filterbank (Precision.HIGHEST on TPU, ~-100 dB);
     # "bf16x2w": bf16 hi/lo weight pair + bf16 operands — the bench's
     # production-throughput mode (see PERF.md dynamic-range ladder)
