@@ -92,7 +92,10 @@ def _d_flags(ad: ParsedAd, body: bytes) -> None:
 
 @_decodes(0x08, 0x09)  # Shortened / Complete Local Name
 def _d_name(ad: ParsedAd, body: bytes) -> None:
-    ad.local_name = body.decode("utf-8", errors="replace")
+    # a zero-body name AD carries no information — leaving local_name
+    # None keeps absorb() from wiping a previously-learned name
+    if body:
+        ad.local_name = body.decode("utf-8", errors="replace")
 
 
 @_decodes(0x0A)  # TX Power Level (signed)

@@ -327,7 +327,9 @@ class BtleTui:
             self.stack.pop()
 
     def key(self, k: str):
-        if k == "q":
+        if k == "q" or (k == "\x1b" and len(self.stack) == 1):
+            # ESC on the root scan screen exits like 'q' (sub-screens
+            # handle ESC themselves as "back")
             for sink in list(self.capture_sinks):
                 sink.close()
             self.quit = True

@@ -78,6 +78,4 @@ class MultiHostWidebandScan(ShardedWidebandScan):
                 sh, np.asarray(i_local, np.float32), (n_global,))
             xq = jax.make_array_from_process_local_data(
                 sh, np.asarray(q_local, np.float32), (n_global,))
-        return self._fn(xi, xq, self.branch_cols, self.kernel, self.dft_r,
-                        self.dft_i, self.aa_rows, self.whiten_rows,
-                        self.crc_inits, self.adv_flags)
+        return self.run_placed(xi, xq)

@@ -33,7 +33,9 @@ from ..rx.pipeline import decode_block, required_halo
 from ..spec import bits as B
 from ..spec import crc24 as C
 from ..spec import whitening as W
-from ..wideband.channelizer import DEFAULT_TAPS, D, M, _dft_matrix, _poly_kernel, bin_to_channel
+from ..wideband.channelizer import (DEFAULT_TAPS, D, M, _dft_matrix,
+                                    _poly_kernel, bin_to_channel,
+                                    branch_columns)
 
 
 def _branch_split_plan(num_taps: int):
@@ -48,17 +50,8 @@ def _branch_split_plan(num_taps: int):
     order; a device slices its contiguous chunk.
     """
     kern, row_of_p = _poly_kernel(num_taps)
-    cols = np.zeros(M, np.int32)
-    kernels = np.zeros((M, 1, kern.shape[2]), np.float32)
-    for p in range(M):
-        if p % D == 0:
-            c = 0
-        elif p <= D - 1:
-            c = D - p
-        else:
-            c = 2 * D - p
-        cols[p] = c
-        kernels[p, 0] = kern[row_of_p[p], 0]
+    cols = branch_columns()
+    kernels = kern[row_of_p, 0][:, None, :].astype(np.float32)
     return cols, kernels
 
 CH_SPS = 4
@@ -285,6 +278,11 @@ class ShardedWidebandScan:
         sh = NamedSharding(self.mesh, P("time"))
         xi = jax.device_put(jnp.asarray(i_wb, jnp.float32), sh)
         xq = jax.device_put(jnp.asarray(q_wb, jnp.float32), sh)
+        return self.run_placed(xi, xq)
+
+    def run_placed(self, xi, xq):
+        """Run on inputs already sharded over the mesh (no device_put) —
+        the benchmarking / pre-staged-ingest entry point."""
         return self._fn(xi, xq, self.branch_cols, self.kernel, self.dft_r,
                         self.dft_i, self.aa_rows, self.whiten_rows,
                         self.crc_inits, self.adv_flags)

@@ -9,10 +9,12 @@ scheduler plays the same burst structure onto a UDP socket in the
 runtime's wire format (interleaved int16 IQ — what runtime.UdpIngest
 feeds into the C++ ring buffer on the receive side).
 
-``realtime=True`` paces the socket at the sample rate (1 Msym/s x sps),
+Both modes materialize the Space gaps as zero samples (exactly
+``plan_to_stream``'s layout) — the receive side's clock is the sample
+offset, so the gap must exist in the sample timeline. ``realtime=True``
+additionally paces the socket at the sample rate (1 Msym/s x sps),
 making the stream air-faithful in wall-clock time; ``False`` blasts at
-full speed with the Space gaps materialized as zero samples (exactly
-``plan_to_stream``'s layout), which is what loopback tests want.
+full speed, which is what loopback tests want.
 """
 
 from __future__ import annotations
@@ -64,11 +66,15 @@ def udp_transmit(packets, port: int, host: str = "127.0.0.1", *,
             for p in packets:
                 send_stream(zeros, zeros)            # burst warm-up
                 send_stream(p.i, p.q)
+                # the Space gap is part of the sample timeline: the
+                # receiver's clock is the sample offset (now_us =
+                # offset/sps), so the silence must be materialized as
+                # zero samples in BOTH modes — send_stream itself paces
+                # them at the sample rate when realtime (the C tool's
+                # busy-wait holds the radio silent; skipping samples
+                # here would compress advert intervals and hop timing)
                 gap = int(p.space_ms * 1000 * sps)
-                if realtime:
-                    # the Space busy-wait: real wall-clock silence
-                    time.sleep(p.space_ms / 1e3)
-                elif gap:
+                if gap:
                     g = np.zeros(gap, np.int16)
                     send_stream(g, g)
     finally:

@@ -98,6 +98,16 @@ def _conv_kernel(num_taps: int) -> np.ndarray:
     return k
 
 
+def branch_columns() -> np.ndarray:
+    """c(p): the decimated frame column each polyphase branch p reads
+    (derivation in _poly_kernel's docstring). The ONE authoritative copy
+    of the branch->column map — _poly_kernel, _fused_kernel and the
+    sharded branch-split plan (dist.shard) all read it from here."""
+    p = np.arange(M)
+    c = np.where(p % D == 0, 0, np.where(p <= D - 1, D - p, 2 * D - p))
+    return c.astype(np.int32)
+
+
 @lru_cache(maxsize=None)
 def _poly_kernel(num_taps: int):
     """Grouped polyphase kernel: the L-tap strided conv re-expressed over
@@ -123,13 +133,9 @@ def _poly_kernel(num_taps: int):
     kern = np.zeros((M, 1, width), dtype=np.float32)
     row_of_p = np.zeros(M, dtype=np.int32)
     slot_used: dict[int, int] = {}
+    cols = branch_columns()
     for p in range(M):
-        if p % (D) == 0:
-            c = 0
-        elif p <= D - 1:
-            c = D - p
-        else:
-            c = 2 * D - p
+        c = int(cols[p])
         if p == 0:
             base = width - 1
         elif p <= D - 1 or p == D:
@@ -164,14 +170,9 @@ def _fused_kernel(num_taps: int):
     width = kern.shape[2]
     # K_p[c, s]: branch p's taps laid out over (column, shift)
     kp = np.zeros((M, D, width), dtype=np.float64)
+    cols = branch_columns()
     for p in range(M):
-        if p % D == 0:
-            c = 0
-        elif p <= D - 1:
-            c = D - p
-        else:
-            c = 2 * D - p
-        kp[p, c, :] = kern[row_of_p[p], 0, :]
+        kp[p, cols[p], :] = kern[row_of_p[p], 0, :]
     er, ei = _dft_matrix()
     g_r = np.einsum("mp,pcs->mcs", er.astype(np.float64), kp)
     g_i = np.einsum("mp,pcs->mcs", ei.astype(np.float64), kp)

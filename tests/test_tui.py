@@ -68,6 +68,31 @@ class TestScanScreen:
         app.key("q")
         assert app.quit
 
+    def test_esc_quits_from_root_but_pops_subscreens(self):
+        app = BtleTui(_stream())
+        app.pump(999)
+        app.key("\n")
+        assert isinstance(app.screen, DeviceDetailScreen)
+        app.key("\x1b")                    # sub-screen: back, not quit
+        assert isinstance(app.screen, ScanScreen)
+        assert not app.quit
+        app.key("\x1b")                    # root scan screen: exit
+        assert app.quit
+
+
+class TestAggregateMerge:
+    def test_empty_name_ad_keeps_learned_name(self):
+        """A zero-body Local Name AD (len=1, type=0x09) carries no
+        information and must not wipe a previously-learned name."""
+        from btle_tpu.cli.aggregate import parse_ad_structures
+
+        named = parse_ad_structures("00" * 6 + "050954657374")  # "Test"
+        assert named.local_name == "Test"
+        empty = parse_ad_structures("00" * 6 + "0109")
+        assert empty.local_name is None
+        named.absorb(empty)
+        assert named.local_name == "Test"
+
 
 class TestDeviceDetail:
     def test_enter_opens_detail_with_fields(self):

@@ -70,9 +70,7 @@ def bench_mesh(jax, n_ch, n_time, block_wb, iters, rng):
             jax.device_put(rng.normal(0, 30, n).astype(np.float32), sh)
             for _ in range(2)
         ))
-    run = lambda b: scan._fn(b[0], b[1], scan.kernel, scan.dft_r, scan.dft_i,
-                             scan.aa_rows, scan.whiten_rows, scan.crc_inits,
-                             scan.adv_flags)
+    run = lambda b: scan.run_placed(b[0], b[1])
     for b in blocks[:2]:
         jax.block_until_ready(run(b))
     trials = []

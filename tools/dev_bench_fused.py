@@ -232,6 +232,25 @@ if which == "tune2":
     measure(step16, "full-t2048-cand16-iters192", iters=192, trials=3)
     measure(step16, "full-t2048-cand16-iters96", iters=96, trials=3)
 
+if which == "split2":
+    # stage decomposition of the CURRENT production mode (bf16x2w t2048)
+    def fe_of(**kw):
+        @jax.jit
+        def fe(i, q):
+            return checksum(fused_frontend(i, q, jnp.broadcast_to(aa_bits,(40,32)), aa_mask,
+                                           num_taps=DEFAULT_TAPS, sps=4, lag=LAG,
+                                           compute_dtype="bf16x2w", tile=2048, **kw))
+        return fe
+    @jax.jit
+    def full16(i, q):
+        return checksum(wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                            sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                            tile=2048, compute_dtype="bf16x2w"))
+    measure(full16, "x2w-full16-t2048", iters=192, trials=3)
+    measure(fe_of(), "x2w-frontend-only", iters=192, trials=3)
+    measure(fe_of(dev_skip="aamag"), "x2w-fe-matmul+demod", iters=192, trials=3)
+    measure(fe_of(dev_skip="mag"), "x2w-fe-no-mag", iters=192, trials=3)
+
 if which == "tune3":
     for tile in (1024, 2048, 3072, 4096):
         @jax.jit
