@@ -10,10 +10,15 @@ per time tile (the TPU-native form of the reference's one-pass
 sample-serial receive loop, btle_rx.c:1489-1562 + 2188-2391):
 
   per grid step i (one tile of T output frames):
-    1. DMA the (40, T+192) frame tile from HBM              [~0.4 us]
-    2. filterbank: y[:, k] = sum_s G_s @ F[:, k+s]          [MXU]
-       where G_s folds the polyphase taps AND the 40-point DFT
-       (channelizer._fused_kernel), rows 0..39 = y_i, 40..79 = y_q
+    1. DMA the frame tile from HBM                          [~0.4 us]
+    2. filterbank, one of two inners (see _default_inner):
+       - "im2col" (bf16 modes): y[:, k] = sum_s G_s @ F[:, k+s]  [MXU]
+         where G_s folds the polyphase taps AND the 40-point DFT
+         (channelizer._fused_kernel), rows 0..39 = y_i, 40..79 = y_q
+       - "poly" (exact f32): per-branch 32-tap convs as VPU shifted
+         FMAs over permuted frame rows, then ONE (80, 80) DFT matmul
+         (_poly_tables) — the true polyphase work is ~3 GFLOP/131k
+         block vs the folded form's 109; at f32 the VPU form wins
     3. phase-difference decisions d > 0                     [VPU]
     4. 32-tap per-channel access-address correlation        [VPU]
     5. 128-sample |I|+|Q| window sums for RSSI              [VPU]
@@ -52,7 +57,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .channelizer import D, DEFAULT_TAPS, M, _fused_kernel
+from .channelizer import (D, DEFAULT_TAPS, M, _dft_matrix, _fused_kernel,
+                          _poly_kernel, branch_columns)
 
 AA_BITS = 32
 # TPU MXU precision for the filterbank matmuls. DEFAULT lowers f32
@@ -66,6 +72,7 @@ _FILTER_PRECISION = jax.lax.Precision.HIGHEST
 
 
 N_CHUNKS = 5  # im2col chunking of the shift axis (width 65 -> 5 x 13)
+_POLY_GROUP = 8  # poly inner: shifts chained in registers per ref store
 
 
 @lru_cache(maxsize=None)
@@ -115,6 +122,58 @@ def _g_chunks_hilo(num_taps: int) -> np.ndarray:
     hi = gc.astype(ml_dtypes.bfloat16).astype(np.float32)
     lo = (gc - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
     return np.ascontiguousarray(np.concatenate([hi, lo], axis=0))
+
+
+@lru_cache(maxsize=None)
+def _poly_tables(num_taps: int):
+    """Static tables for the TRUE-polyphase inner ("poly"): the folded
+    dense conv (109 GFLOP/131k block at K=2600) inflates the arithmetic
+    ~18x over the actual polyphase work — each branch p convolves ONE
+    decimated column with its own taps_per=L/M taps (VPU shifted FMAs,
+    ~3 GFLOP total), and only the tiny M-point DFT touches the MXU.
+    Exact f32 throughout: no bf16 weight/operand ladder needed.
+
+    Returns (perm, kcoef, wdft):
+      perm  (80,)  frame-row gather building f_perm = f_t[perm], rows
+                   [even-parity I(20) | even Q(20) | odd I(20) | odd Q(20)]
+                   (branch p's taps sit at shifts s = base(p)-2r, all of
+                   one parity; grouping halves the shifted-FMA work)
+      kcoef (80, width) per-row tap value at shift s (zeros elsewhere)
+      wdft  (80, 80) DFT + row-permutation matmul: [y_i; y_q] = W @ u
+    """
+    kern, row_of_p = _poly_kernel(num_taps)
+    width = kern.shape[2]
+    cols = branch_columns()
+    # base(p) parity: p=0 -> width-1 (even), p in 1..D -> width-2 (odd),
+    # p in D+1.. -> width-3 (even); width = num_taps/D + 1 is odd.
+    even_p = [0] + list(range(D + 1, M))
+    odd_p = list(range(1, D + 1))
+    perm = np.array(
+        [cols[p] for p in even_p] + [D + cols[p] for p in even_p]
+        + [cols[p] for p in odd_p] + [D + cols[p] for p in odd_p],
+        np.int32)
+    kcoef = np.zeros((2 * M, width), np.float32)
+    half = len(even_p)                                    # 20
+    for g, p in enumerate(even_p):
+        kcoef[g] = kcoef[half + g] = kern[row_of_p[p], 0]
+    for g, p in enumerate(odd_p):
+        kcoef[2 * half + g] = kcoef[3 * half + g] = kern[row_of_p[p], 0]
+    # u row index of branch p's I / Q streams in the kernel's layout
+    ri = np.zeros(M, np.int64)
+    rq = np.zeros(M, np.int64)
+    for g, p in enumerate(even_p):
+        ri[p], rq[p] = g, half + g
+    for g, p in enumerate(odd_p):
+        ri[p], rq[p] = 2 * half + g, 3 * half + g
+    er, ei = _dft_matrix()
+    er64, ei64 = er.astype(np.float64), ei.astype(np.float64)
+    wdft = np.zeros((2 * M, 2 * M), np.float64)
+    rows = np.arange(M)[:, None]
+    wdft[rows, ri[None, :]] = er64                        # y_i <- Er u_i
+    wdft[rows, rq[None, :]] = -ei64                       # y_i <- -Ei u_q
+    wdft[M + rows, ri[None, :]] = ei64                    # y_q <- Ei u_i
+    wdft[M + rows, rq[None, :]] = er64                    # y_q <- Er u_q
+    return perm, kcoef, wdft.astype(np.float32)
 
 
 def _ycols(tile: int, sps: int, lag: int) -> int:
@@ -181,8 +240,15 @@ def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
                 preferred_element_type=jnp.float32,
                 precision=_FILTER_PRECISION,
             )
-    y_i, y_q = y[:M], y[M:]
+    _demod_tail(y[:M], y[M:], tsign_ref, nmask_ref, bits_ref, hit_ref,
+                mag_ref, tile=T, sps=sps, lag=lag, dev_skip=dev_skip)
 
+
+def _demod_tail(y_i, y_q, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
+                *, tile: int, sps: int, lag: int, dev_skip: str = ""):
+    """Stages 3-6 shared by every filterbank inner: phase-diff decisions,
+    AA correlation, RSSI window sums, lattice writes."""
+    T = tile
     # phase-difference decisions over T + 31*sps positions
     nb = T + (AA_BITS - 1) * sps
     d = y_i[:, :nb] * y_q[:, lag : nb + lag] - y_i[:, lag : nb + lag] * y_q[:, :nb]
@@ -217,12 +283,75 @@ def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
         mag_ref[:] = w[:, :T] * (1.0 / win)
 
 
-def _default_tile(compute_dtype: str) -> int:
-    """Largest measured-fastest time tile that fits VMEM per mode: bf16
-    operand storage halves the frame scratch, so the bf16 modes take a
-    2048-frame tile (1003 vs 911 Msps at 1024 on v5e; 4096 regresses);
-    f32 operands stay at 1024."""
-    return 2048 if compute_dtype in ("bf16", "bf16x2w") else 1024
+def _kernel_poly(f_hbm, kc_ref, w_ref, tsign_ref, nmask_ref, bits_ref,
+                 hit_ref, mag_ref, fbuf, ue_ref, uo_ref, sem, *, tile: int,
+                 width: int, sps: int, lag: int, dev_skip: str = ""):
+    """True-polyphase inner: per-branch taps as VPU shifted FMAs over the
+    permuted frame rows (f_perm = f_t[perm], see _poly_tables), then ONE
+    (80, 80) DFT matmul. All arithmetic is f32 — the MXU only ever sees
+    the tiny DFT contraction, so no precision ladder applies."""
+    T = tile
+    ycols = _ycols(T, sps, lag)
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        f_hbm.at[:, pl.ds(i * T, _fcols(T, width, sps, lag))], fbuf, sem)
+    cp.start()
+    cp.wait()
+
+    # Branch-conv accumulation, grouped: a pure value chain keeps all
+    # ~65 shifted (40, ycols) temporaries live on the Mosaic stack at
+    # once (>16 MB scoped-vmem at big tiles); a ref store per shift
+    # forces a VMEM round trip per tap (measured 4.2 ms/block). Groups
+    # of _POLY_GROUP shifts chain in registers, then one store.
+    half = 2 * D                                   # 40 rows per parity group
+    f = fbuf[:]
+
+    def accumulate(out_ref, rows, shifts):
+        first = True
+        for g0 in range(0, len(shifts), _POLY_GROUP):
+            acc = None
+            for s in shifts[g0 : g0 + _POLY_GROUP]:
+                t = f[rows, s : s + ycols] * kc_ref[rows, s : s + 1]
+                acc = t if acc is None else acc + t
+            out_ref[:] = acc if first else out_ref[:] + acc
+            first = False
+
+    accumulate(ue_ref, slice(None, half), list(range(0, width, 2)))
+    accumulate(uo_ref, slice(half, None), list(range(1, width, 2)))
+
+    # DFT as two half-contractions (Mosaic cannot concatenate the two
+    # accumulators: their lazy lane offsets differ by the shift parity)
+    dn = (((1,), (0,)), ((), ()))
+    y = (jax.lax.dot_general(w_ref[:, :half], ue_ref[:],
+                             dimension_numbers=dn,
+                             preferred_element_type=jnp.float32,
+                             precision=_FILTER_PRECISION)
+         + jax.lax.dot_general(w_ref[:, half:], uo_ref[:],
+                               dimension_numbers=dn,
+                               preferred_element_type=jnp.float32,
+                               precision=_FILTER_PRECISION))
+    _demod_tail(y[:M], y[M:], tsign_ref, nmask_ref, bits_ref, hit_ref,
+                mag_ref, tile=T, sps=sps, lag=lag, dev_skip=dev_skip)
+
+
+def _default_inner(compute_dtype: str) -> str:
+    """Measured-fastest inner per mode: the bf16 modes keep the im2col
+    MXU form (the hi/lo weight pair needs matmuls); exact f32 is fastest
+    as the true-polyphase VPU form (696 vs 519 Msps on v5e — the folded
+    dense conv's 18x FLOP inflation outweighs the MXU's speed there)."""
+    return "im2col" if compute_dtype in ("bf16", "bf16x2w") else "poly"
+
+
+def _default_tile(compute_dtype: str, inner: str) -> int:
+    """Largest measured-fastest time tile that fits scoped VMEM (16 MB)
+    per mode: bf16 operand storage halves the frame scratch, so the bf16
+    modes take a 2048-frame tile (1003 vs 911 Msps at 1024 on v5e; 4096
+    regresses); the poly inner's grouped register chains also fit 2048
+    at f32; only f32 im2col must stay at 1024 (its 520-row f32 im2col
+    scratch plus the unrolled value chains exceed the scoped limit)."""
+    if compute_dtype == "f32" and inner == "im2col":
+        return 1024
+    return 2048
 
 
 @partial(jax.jit, static_argnames=("num_taps", "has_context", "sps", "lag",
@@ -231,7 +360,7 @@ def _default_tile(compute_dtype: str) -> int:
 def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
                    has_context: bool = False, sps: int = 4, lag: int = 4,
                    tile: int | None = None, compute_dtype: str = "f32",
-                   inner: str = "im2col", interpret: bool = False,
+                   inner: str | None = None, interpret: bool = False,
                    dev_skip: str = ""):
     """80 Msps wideband IQ -> per-channel (bits, hit, mag) lattices.
 
@@ -244,8 +373,10 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     """
     win = AA_BITS * sps
     assert win & (win - 1) == 0, "RSSI doubling loop needs 32*sps power of 2"
+    if inner is None:
+        inner = _default_inner(compute_dtype)
     if tile is None:
-        tile = _default_tile(compute_dtype)
+        tile = _default_tile(compute_dtype, inner)
     hilo = compute_dtype == "bf16x2w"
     assert not (hilo and inner != "im2col"), "bf16x2w needs the im2col inner"
     cdtype = (jnp.bfloat16 if compute_dtype in ("bf16", "bf16x2w")
@@ -278,6 +409,53 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     tsign = ((aa_rows.astype(jnp.float32) * 2 - 1)
              * aa_mask.astype(jnp.float32)[None, :])          # (40, 32)
     n_mask = jnp.sum(aa_mask.astype(jnp.float32)).reshape(1, 1)
+
+    if inner == "poly":
+        assert compute_dtype == "f32", "poly inner IS the exact-f32 path"
+        perm, kcoef, wdft = _poly_tables(num_taps)
+        f_p = f_t[jnp.asarray(perm)]                          # (80, j_pad)
+        kern = partial(_kernel_poly, tile=T, width=width, sps=sps, lag=lag,
+                       dev_skip=dev_skip)
+        bits, hit, mag = pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY
+                             if interpret else pltpu.HBM),
+                pl.BlockSpec((2 * M, kcoef.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * M, 2 * M), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, AA_BITS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((M, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((M, T), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((M, n_tiles * T), jnp.int8),
+                jax.ShapeDtypeStruct((M, n_tiles * T), jnp.int8),
+                jax.ShapeDtypeStruct((M, n_tiles * T), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2 * 2 * D, _fcols(T, width, sps, lag)),
+                           jnp.float32),
+                pltpu.VMEM((2 * D, _ycols(T, sps, lag)), jnp.float32),
+                pltpu.VMEM((2 * D, _ycols(T, sps, lag)), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(f_p, jnp.asarray(kcoef), jnp.asarray(wdft), tsign, n_mask)
+        n_bits = k_out - lag
+        n_hit = n_bits - (AA_BITS - 1) * sps
+        return (bits[:, :n_bits], hit[:, :n_hit].astype(bool),
+                mag[:, :n_hit])
 
     if inner == "im2col":
         gk = jnp.asarray(_g_chunks_hilo(num_taps) if hilo
@@ -335,7 +513,7 @@ def wideband_scan_fused(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                         adv_flags, sps: int = 4, lag: int = 4,
                         max_candidates: int = 8, num_taps: int = DEFAULT_TAPS,
                         has_context: bool = False, tile: int | None = None,
-                        compute_dtype: str = "f32", inner: str = "im2col",
+                        compute_dtype: str = "f32", inner: str | None = None,
                         decode: str = "pallas", interpret: bool = False):
     """Drop-in for sniffer.wideband_scan with the Pallas front end.
 

@@ -64,8 +64,9 @@ def _wideband(rng, chans=(37, 0, 17, 39), n=100000):
     return wi, wq
 
 
-@pytest.mark.parametrize("lag", [4, 1])
-def test_fused_scan_packet_parity(rng, lag):
+@pytest.mark.parametrize("inner,lag", [("im2col", 4), ("im2col", 1),
+                                       ("poly", 4), ("poly", 1)])
+def test_fused_scan_packet_parity(rng, inner, lag):
     wi, wq = _wideband(rng)
     aa, mask, whiten, crc, adv = _tables()
     ref = wideband_scan(jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten,
@@ -74,7 +75,8 @@ def test_fused_scan_packet_parity(rng, lag):
     with pltpu.force_tpu_interpret_mode():
         out = wideband_scan_fused(
             jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten, crc, adv,
-            sps=4, lag=lag, max_candidates=8, tile=512, interpret=True)
+            sps=4, lag=lag, max_candidates=8, tile=512, inner=inner,
+            interpret=True)
     out = {k: np.asarray(v) for k, v in out.items()}
 
     for key in ("pos", "valid", "crc_ok", "payload_len", "len_ok"):

@@ -82,9 +82,10 @@ if which in ("all","fused"):
 if which in ("all","frontend"):
     @jax.jit
     def fe(i, q):
+        # tile=None -> per-dtype default (f32 tile 2048 OOMs scoped vmem)
         return checksum(fused_frontend(i, q, jnp.broadcast_to(aa_bits,(40,32)), aa_mask,
-                                       num_taps=DEFAULT_TAPS, sps=4, lag=LAG, tile=2048))
-    measure(fe, "frontend-only-t2048")
+                                       num_taps=DEFAULT_TAPS, sps=4, lag=LAG))
+    measure(fe, "frontend-only")
     @jax.jit
     def chan(i, q):
         return checksum(channelize(i, q, num_taps=DEFAULT_TAPS))
@@ -250,6 +251,32 @@ if which == "split2":
     measure(fe_of(), "x2w-frontend-only", iters=192, trials=3)
     measure(fe_of(dev_skip="aamag"), "x2w-fe-matmul+demod", iters=192, trials=3)
     measure(fe_of(dev_skip="mag"), "x2w-fe-no-mag", iters=192, trials=3)
+
+if which == "poly":
+    # true-polyphase inner: exact f32, VPU branch conv + 80x80 DFT matmul
+    def fe_of(**kw):
+        @jax.jit
+        def fe(i, q):
+            return checksum(fused_frontend(i, q, jnp.broadcast_to(aa_bits,(40,32)), aa_mask,
+                                           num_taps=DEFAULT_TAPS, sps=4, lag=LAG,
+                                           inner="poly", **kw))
+        return fe
+    for tile in ():
+        try:
+            measure(fe_of(tile=tile), f"poly-frontend-t{tile}", iters=192, trials=3)
+        except Exception as e:
+            print(f"poly-frontend-t{tile}: FAILED {type(e).__name__}: {e}", flush=True)
+    for tile in (2048, 3072):
+        @jax.jit
+        def full16(i, q, _t=tile):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                      tile=_t, inner="poly")
+            return checksum(out)
+        try:
+            measure(full16, f"poly-full16-t{tile}", iters=192, trials=3)
+        except Exception as e:
+            print(f"poly-full16-t{tile}: FAILED {type(e).__name__}: {e}", flush=True)
 
 if which == "tune3":
     for tile in (1024, 2048, 3072, 4096):
