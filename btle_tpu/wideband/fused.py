@@ -411,7 +411,13 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     n_mask = jnp.sum(aa_mask.astype(jnp.float32)).reshape(1, 1)
 
     if inner == "poly":
-        assert compute_dtype == "f32", "poly inner IS the exact-f32 path"
+        # "f32": everything exact. "bf16": operands only — the taps
+        # stay EXACT f32 (the VPU never quantizes weights), so unlike
+        # im2col-bf16 the filter response is exact; operand rounding is
+        # noise-like (and exact for int8 SDR wire formats). bf16x2w has
+        # no meaning here: there is no weight pair to split.
+        assert compute_dtype in ("f32", "bf16"), \
+            "poly inner: f32 or bf16 (operand-only) — weights are exact"
         perm, kcoef, wdft = _poly_tables(num_taps)
         f_p = f_t[jnp.asarray(perm)]                          # (80, j_pad)
         kern = partial(_kernel_poly, tile=T, width=width, sps=sps, lag=lag,
@@ -444,8 +450,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
                 jax.ShapeDtypeStruct((M, n_tiles * T), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2 * 2 * D, _fcols(T, width, sps, lag)),
-                           jnp.float32),
+                pltpu.VMEM((2 * 2 * D, _fcols(T, width, sps, lag)), cdtype),
                 pltpu.VMEM((2 * D, _ycols(T, sps, lag)), jnp.float32),
                 pltpu.VMEM((2 * D, _ycols(T, sps, lag)), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),

@@ -266,17 +266,17 @@ if which == "poly":
             measure(fe_of(tile=tile), f"poly-frontend-t{tile}", iters=192, trials=3)
         except Exception as e:
             print(f"poly-frontend-t{tile}: FAILED {type(e).__name__}: {e}", flush=True)
-    for tile in (2048, 3072):
+    for tile, dt in ((2048, "f32"), (2048, "bf16"), (4096, "bf16")):
         @jax.jit
-        def full16(i, q, _t=tile):
+        def full16(i, q, _t=tile, _d=dt):
             out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
                                       sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
-                                      tile=_t, inner="poly")
+                                      tile=_t, inner="poly", compute_dtype=_d)
             return checksum(out)
         try:
-            measure(full16, f"poly-full16-t{tile}", iters=192, trials=3)
+            measure(full16, f"poly-{dt}-full16-t{tile}", iters=192, trials=3)
         except Exception as e:
-            print(f"poly-full16-t{tile}: FAILED {type(e).__name__}: {e}", flush=True)
+            print(f"poly-{dt}-full16-t{tile}: FAILED {type(e).__name__}: {e}", flush=True)
 
 if which == "tune3":
     for tile in (1024, 2048, 3072, 4096):
