@@ -82,7 +82,7 @@ class ShardedWidebandScan:
                  access_address_hex: str = "D6BE898E",
                  crc_init_hex: str = "555555",
                  fused: bool = False, fused_tile: int | None = None,
-                 fused_interpret: bool = False):
+                 fused_dtype: str = "f32", fused_interpret: bool = False):
         self.mesh = mesh
         self.n_ch = mesh.shape["ch"]
         self.n_time = mesh.shape["time"]
@@ -100,6 +100,9 @@ class ShardedWidebandScan:
             raise ValueError("fused sharding is time-parallel (n_ch must be 1)")
         self.fused = fused
         self.fused_tile = fused_tile
+        # same knob as WidebandConfig.fused_dtype: "f32" (exact, poly
+        # inner) or "bf16x2w"/"bf16" (throughput; see PERF.md ladder)
+        self.fused_dtype = fused_dtype
         self.fused_interpret = fused_interpret
         self.block_wb = block_wb
         self.num_taps = num_taps
@@ -186,7 +189,8 @@ class ShardedWidebandScan:
                     xi_h, xq_h, aa_rows, aa_mask, whiten, crc_inits,
                     adv_flags, sps=CH_SPS, lag=CH_LAG, max_candidates=maxc,
                     num_taps=num_taps, has_context=True,
-                    tile=self.fused_tile, interpret=self.fused_interpret)
+                    tile=self.fused_tile, compute_dtype=self.fused_dtype,
+                    interpret=self.fused_interpret)
                 return {k: v[None] for k, v in out.items()}
 
             # ---- branch-split polyphase conv (this device's branches):

@@ -150,6 +150,23 @@ class TestFusedSharded:
         assert _key(pg) == _key(pr)
         assert len(_key(pr)) == len(chans)
 
+    def test_fused_bf16x2w_sharded_packet_set(self, scene):
+        """The throughput dtype rides the sharded path too: bf16x2w per
+        device yields the identical CRC-OK packet set."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        wi, wq, expected, chans = scene
+        mesh = make_mesh(1, 4)
+        ref = ShardedWidebandScan(mesh, block_wb=len(wi) // 4)
+        got = ShardedWidebandScan(mesh, block_wb=len(wi) // 4, fused=True,
+                                  fused_tile=512, fused_dtype="bf16x2w",
+                                  fused_interpret=True)
+        with pltpu.force_tpu_interpret_mode():
+            pr = ref.gather_packets(ref(wi, wq))
+            pg = got.gather_packets(got(wi, wq))
+        assert _key(pg) == _key(pr)
+        assert len(_key(pr)) == len(chans)
+
     def test_fused_boundary_straddling(self):
         from jax.experimental.pallas import tpu as pltpu
 
