@@ -277,3 +277,26 @@ def test_fused_per_channel_aa_rows(rng):
         np.testing.assert_array_equal(ref[key], out[key], err_msg=key)
     got = {bin_to_channel(int(m)) for m, k in np.argwhere(out["crc_ok"])}
     assert {37, 4, 22} <= got
+
+
+@pytest.mark.parametrize("num_taps", [640, 1280])
+def test_poly_tables_reconstruct_folded_weights(num_taps):
+    """The poly factorization (perm, kcoef, wdft) must reproduce the
+    DFT-folded conv weights EXACTLY: y[o,k] = sum_s G[s][o,i] f[i,k+s]
+    == sum_row wdft[o,row] kcoef[row,s] f[perm[row],k+s]. Also checks
+    the parity split (even rows carry only even shifts and vice versa),
+    which the kernel's two grouped FMA loops rely on."""
+    from btle_tpu.wideband.channelizer import D, M
+    from btle_tpu.wideband.fused import _g_stack, _poly_tables
+
+    perm, kcoef, wdft = _poly_tables(num_taps)
+    width = kcoef.shape[1]
+    g = _g_stack(num_taps)                       # (width, 80, 40) oracle
+    g2 = np.zeros_like(g)
+    for row in range(2 * M):
+        for s in range(width):
+            if kcoef[row, s]:
+                g2[s, :, perm[row]] += wdft[:, row] * kcoef[row, s]
+    np.testing.assert_allclose(g2, g, atol=1e-6)
+    assert not kcoef[: 2 * D, 1::2].any()        # even rows: even shifts
+    assert not kcoef[2 * D :, 0::2].any()        # odd rows: odd shifts
