@@ -141,6 +141,12 @@ def _poly_tables(num_taps: int):
       kcoef (80, width) per-row tap value at shift s (zeros elsewhere)
       wdft  (80, 80) DFT + row-permutation matmul: [y_i; y_q] = W @ u
     """
+    # the parity split below needs width = num_taps/D + 1 odd, i.e. the
+    # taps to distribute evenly over the M branches (an uneven count
+    # would put "even" rows on odd shifts and the kernel's grouped FMA
+    # loops would silently produce a zero filterbank)
+    assert num_taps % (2 * D) == 0, \
+        f"poly inner needs num_taps % {2 * D} == 0, got {num_taps}"
     kern, row_of_p = _poly_kernel(num_taps)
     width = kern.shape[2]
     cols = branch_columns()
@@ -410,6 +416,10 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
              * aa_mask.astype(jnp.float32)[None, :])          # (40, 32)
     n_mask = jnp.sum(aa_mask.astype(jnp.float32)).reshape(1, 1)
 
+    # per-inner kernel, weight operands, weight specs and scratch; the
+    # frames operand / output plumbing / lattice trim are shared below
+    fcols = _fcols(T, width, sps, lag)
+    vm = pltpu.VMEM
     if inner == "poly":
         # "f32": everything exact. "bf16": operands only — the taps
         # stay EXACT f32 (the VPU never quantizes weights), so unlike
@@ -419,92 +429,64 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
         assert compute_dtype in ("f32", "bf16"), \
             "poly inner: f32 or bf16 (operand-only) — weights are exact"
         perm, kcoef, wdft = _poly_tables(num_taps)
-        f_p = f_t[jnp.asarray(perm)]                          # (80, j_pad)
+        frames = f_t[jnp.asarray(perm)]                       # (80, j_pad)
         kern = partial(_kernel_poly, tile=T, width=width, sps=sps, lag=lag,
                        dev_skip=dev_skip)
-        bits, hit, mag = pl.pallas_call(
-            kern,
-            grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY
-                             if interpret else pltpu.HBM),
-                pl.BlockSpec((2 * M, kcoef.shape[1]), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * M, 2 * M), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((M, AA_BITS), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((M, T), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((M, T), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((M, T), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((M, n_tiles * T), jnp.int8),
-                jax.ShapeDtypeStruct((M, n_tiles * T), jnp.int8),
-                jax.ShapeDtypeStruct((M, n_tiles * T), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2 * 2 * D, _fcols(T, width, sps, lag)), cdtype),
-                pltpu.VMEM((2 * D, _ycols(T, sps, lag)), jnp.float32),
-                pltpu.VMEM((2 * D, _ycols(T, sps, lag)), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-            interpret=interpret,
-        )(f_p, jnp.asarray(kcoef), jnp.asarray(wdft), tsign, n_mask)
-        n_bits = k_out - lag
-        n_hit = n_bits - (AA_BITS - 1) * sps
-        return (bits[:, :n_bits], hit[:, :n_hit].astype(bool),
-                mag[:, :n_hit])
-
-    if inner == "im2col":
-        gk = jnp.asarray(_g_chunks_hilo(num_taps) if hilo
-                         else _g_chunks(num_taps), cdtype)
-        chunk = gk.shape[2] // (2 * D)
-        g_spec = pl.BlockSpec((gk.shape[0], 2 * M, chunk * 2 * D),
-                              lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
-        x_scratch = pltpu.VMEM((chunk * 2 * D, _ycols(T, sps, lag)), cdtype)
+        weights = (jnp.asarray(kcoef), jnp.asarray(wdft))
+        w_specs = [
+            pl.BlockSpec((2 * M, kcoef.shape[1]), lambda i: (0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((2 * M, 2 * M), lambda i: (0, 0), memory_space=vm),
+        ]
+        scratch = [
+            vm((2 * 2 * D, fcols), cdtype),
+            vm((2 * D, _ycols(T, sps, lag)), jnp.float32),
+            vm((2 * D, _ycols(T, sps, lag)), jnp.float32),
+        ]
     else:
-        gk = jnp.asarray(g, cdtype)
-        g_spec = pl.BlockSpec((width, 2 * M, 2 * D), lambda i: (0, 0, 0),
-                              memory_space=pltpu.VMEM)
-        x_scratch = pltpu.VMEM((8, 128), cdtype)  # unused placeholder
-    kern = partial(_kernel, tile=T, width=width, sps=sps, lag=lag,
-                   inner=inner, dev_skip=dev_skip)
+        frames = f_t
+        if inner == "im2col":
+            gk = jnp.asarray(_g_chunks_hilo(num_taps) if hilo
+                             else _g_chunks(num_taps), cdtype)
+            chunk = gk.shape[2] // (2 * D)
+            g_spec = pl.BlockSpec((gk.shape[0], 2 * M, chunk * 2 * D),
+                                  lambda i: (0, 0, 0), memory_space=vm)
+            x_scratch = vm((chunk * 2 * D, _ycols(T, sps, lag)), cdtype)
+        else:  # "dots"
+            gk = jnp.asarray(g, cdtype)
+            g_spec = pl.BlockSpec((width, 2 * M, 2 * D),
+                                  lambda i: (0, 0, 0), memory_space=vm)
+            x_scratch = vm((8, 128), cdtype)  # unused placeholder
+        kern = partial(_kernel, tile=T, width=width, sps=sps, lag=lag,
+                       inner=inner, dev_skip=dev_skip)
+        weights = (gk,)
+        w_specs = [g_spec]
+        scratch = [vm((2 * D, fcols), cdtype), x_scratch]
+
     bits, hit, mag = pl.pallas_call(
         kern,
         grid=(n_tiles,),
         in_specs=[
-            # frames stay in HBM (21 MB per 131k block; tiles are DMA'd)
+            # frames stay in HBM (21-42 MB per 131k block; tiles are
+            # DMA'd by the kernel)
             pl.BlockSpec(memory_space=pltpu.ANY
                          if interpret else pltpu.HBM),
-            g_spec,
-            pl.BlockSpec((M, AA_BITS), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *w_specs,
+            pl.BlockSpec((M, AA_BITS), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((M, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, T), lambda i: (0, i), memory_space=vm)
+            for _ in range(3)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((M, n_tiles * T), jnp.int8),
             jax.ShapeDtypeStruct((M, n_tiles * T), jnp.int8),
             jax.ShapeDtypeStruct((M, n_tiles * T), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2 * D, _fcols(T, width, sps, lag)), cdtype),
-            x_scratch,
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=[*scratch, pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(f_t, gk, tsign, n_mask)
+    )(frames, *weights, tsign, n_mask)
 
     n_bits = k_out - lag
     n_hit = n_bits - (AA_BITS - 1) * sps

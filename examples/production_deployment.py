@@ -17,8 +17,10 @@ reference's btle_rx + ble_fpga_ctl stack):
    (poly inner) vs bf16x2w (bench mode) — selected per deployment.
 
 Runs anywhere:  python examples/production_deployment.py
-(On CPU the fused kernel uses Pallas interpret mode; on a TPU it
-compiles natively and the bf16x2w mode is the >10x-real-time path.)
+(On a TPU the fused kernel compiles natively and the bf16x2w mode is
+the >10x-real-time path; on CPU this example keeps fused=False — the
+portable XLA pipeline — since the Mosaic kernel only runs on TPUs, or
+under Pallas interpret mode as the test suite does.)
 """
 
 import os

@@ -261,11 +261,6 @@ if which == "poly":
                                            num_taps=DEFAULT_TAPS, sps=4, lag=LAG,
                                            inner="poly", **kw))
         return fe
-    for tile in ():
-        try:
-            measure(fe_of(tile=tile), f"poly-frontend-t{tile}", iters=192, trials=3)
-        except Exception as e:
-            print(f"poly-frontend-t{tile}: FAILED {type(e).__name__}: {e}", flush=True)
     for tile, dt in ((2048, "f32"), (2048, "bf16"), (4096, "bf16")):
         @jax.jit
         def full16(i, q, _t=tile, _d=dt):
