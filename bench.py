@@ -41,9 +41,11 @@ def main():
     # overhead; 16 candidate slots per channel per block is the
     # production default (WidebandConfig.max_candidates — slot overflow
     # falls back to the sniffer's rescan path).
+    from btle_tpu.rx.pipeline import required_halo
+
     scan_len_ch = 131072
     max_candidates = 16
-    halo_ch = 1473
+    halo_ch = required_halo(4, CH_LAG)  # matches sniffer/dist block geometry
     n_wb = (scan_len_ch + halo_ch) * 20
 
     aa_bits = jnp.asarray(B.hex_to_bits("d6be898e"))
@@ -100,11 +102,13 @@ def main():
         # operands (exact for int8 SDR sources). See PERF.md for the
         # dynamic-range / throughput ladder incl. the HIGHEST-precision
         # f32 mode.
+        path = "fused-bf16x2w"
         step = make_step(wideband_scan_fused, compute_dtype="bf16x2w")
         float(fold([step(*b) for b in blocks[:2]]))  # compile + warm up
     except Exception as e:  # pragma: no cover - fallback path
         print(f"# fused front end unavailable ({type(e).__name__}); "
               "falling back to the XLA pipeline", file=sys.stderr)
+        path = "xla"
         step = make_step(wideband_scan)
         float(fold([step(*b) for b in blocks[:2]]))
 
@@ -122,11 +126,15 @@ def main():
         rates.append(iters / (time.perf_counter() - t0))
     samples_per_block = scan_len_ch * 20  # territory actually consumed
     msps = samples_per_block * sorted(rates)[len(rates) // 2] / 1e6
+    # "path" distinguishes the fused-Pallas production pipeline from the
+    # XLA fallback in the recorded metric (a silent Pallas compile
+    # regression would otherwise be indistinguishable from a slow run).
     print(json.dumps({
         "metric": "wideband_iq_msps_per_chip",
         "value": round(msps, 1),
         "unit": "Msps",
         "vs_baseline": round(msps / 800.0, 3),
+        "path": path,
     }))
 
 

@@ -469,7 +469,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
         in_specs=[
             # frames stay in HBM (21-42 MB per 131k block; tiles are
             # DMA'd by the kernel)
-            pl.BlockSpec(memory_space=pltpu.ANY
+            pl.BlockSpec(memory_space=pl.ANY
                          if interpret else pltpu.HBM),
             *w_specs,
             pl.BlockSpec((M, AA_BITS), lambda i: (0, 0), memory_space=vm),
