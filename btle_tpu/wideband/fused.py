@@ -20,7 +20,8 @@ sample-serial receive loop, btle_rx.c:1489-1562 + 2188-2391):
          (_poly_tables) — the true polyphase work is ~3 GFLOP/131k
          block vs the folded form's 109; at f32 the VPU form wins
     3. phase-difference decisions d > 0                     [VPU]
-    4. 32-tap per-channel access-address correlation        [VPU]
+    4. 32-tap per-channel access-address correlation: 4 strided
+       rolls + 4 block-diagonal matmuls (see _demod_tail)   [MXU]
     5. 128-sample |I|+|Q| window sums for RSSI              [VPU]
     6. write ONLY the bit lattice, hit mask and RSSI sums
 
@@ -95,6 +96,13 @@ def _g_chunks(num_taps: int) -> np.ndarray:
     buffer X[j*40+i, k] = F[i, k + c*chunk + j] — a 520-deep contraction
     keeps the MXU ~4x better utilized than the 40-deep per-shift dots
     (K pads to the 128 tile either way).
+
+    (Negative result, measured: manufacturing X with ONE strided lane
+    rotate per chunk instead of the chunk slice-copies ran 1.14x on an
+    isolated f32 inner, but the 5 chained 2.7 MB rolled broadcasts blow
+    the 16 MB Mosaic stack inside the full kernel even when stored
+    through scratch, and the bf16 modes cannot rotate packed vectors —
+    an f32 roll detour measured a wash. The copies stay.)
     """
     g = _g_stack(num_taps)               # (width, 80, 40)
     width = g.shape[0]
@@ -182,6 +190,24 @@ def _poly_tables(num_taps: int):
     return perm, kcoef, wdft.astype(np.float32)
 
 
+def _aa_w4(tsign):
+    """Block-diagonal AA weights for _demod_tail's MXU correlation.
+
+    (n_grp, M, AA_GRP*M) with w4[g, ch, r*M + ch'] = delta(ch, ch') *
+    tsign[ch, g*AA_GRP + AA_GRP-1-r]: row r of the g-th strided roll
+    holds the lattice shifted by sps*(g*AA_GRP + AA_GRP-1-r), so the
+    matmul reduces exactly the 32 masked-sign taps per channel. Built
+    in plain XLA (tiny, (4, 40, 320) f32) because tsign is runtime data
+    (per-channel AA re-keying under hop following).
+    """
+    n_grp = AA_BITS // AA_GRP
+    # t2[g, r, ch] = tsign[ch, g*AA_GRP + AA_GRP-1-r]
+    t2 = jnp.swapaxes(tsign, 0, 1).reshape(n_grp, AA_GRP, M)[:, ::-1, :]
+    eye = jnp.eye(M, dtype=jnp.float32)
+    w4 = t2[:, :, :, None] * eye[None, None]        # [g, r, ch, ch']
+    return jnp.swapaxes(w4, 1, 2).reshape(n_grp, M, AA_GRP * M)
+
+
 def _ycols(tile: int, sps: int, lag: int) -> int:
     """y columns needed per tile: the AA correlation span plus demod lag,
     or the RSSI window (32*sps), whichever reaches further."""
@@ -197,7 +223,7 @@ def _fcols(tile: int, width: int, sps: int, lag: int) -> int:
     return -(-need // 128) * 128
 
 
-def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
+def _kernel(f_hbm, g_ref, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
             fbuf, xbuf, sem, *, tile: int, width: int, sps: int,
             lag: int, inner: str, dev_skip: str = ""):
     T = tile
@@ -216,12 +242,23 @@ def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
         # DEFAULT-precision passes per chunk -> exact-ish weights).
         hilo = g_ref.shape[0] == 2 * N_CHUNKS
         chunk = g_ref.shape[2] // (2 * D)
-        prec = (jax.lax.Precision.DEFAULT if hilo else _FILTER_PRECISION)
+        # bf16 operands: DEFAULT is already the exact bf16-multiply /
+        # f32-accumulate pass — HIGHEST adds nothing for bf16 inputs
+        # (and crashes the TPU compiler on this kernel). HIGHEST only
+        # matters for f32 operands (multi-pass vs 1 silent bf16 pass).
+        prec = (jax.lax.Precision.DEFAULT
+                if (hilo or g_ref.dtype == jnp.bfloat16)
+                else _FILTER_PRECISION)
         y = jnp.zeros((2 * M, ycols), jnp.float32)
         for c in range(N_CHUNKS):
-            for j in range(chunk):
-                s = c * chunk + j
-                xbuf[j * 2 * D : (j + 1) * 2 * D, :] = fbuf[:, s : s + ycols]
+            if "col" not in dev_skip:   # dev-only stage timing knob
+                for j in range(chunk):
+                    s = c * chunk + j
+                    xbuf[j * 2 * D : (j + 1) * 2 * D, :] = \
+                        fbuf[:, s : s + ycols]
+            if "mm" in dev_skip:        # dev-only stage timing knob
+                y = y + xbuf[: 2 * M, :ycols].astype(jnp.float32)
+                continue
             y = y + jax.lax.dot_general(
                 g_ref[c], xbuf[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -238,19 +275,31 @@ def _kernel(f_hbm, g_ref, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
     else:
         # per-shift accumulating dots (simplest correct form)
         F = fbuf[:, : ycols + width - 1]
+        prec = (jax.lax.Precision.DEFAULT if g_ref.dtype == jnp.bfloat16
+                else _FILTER_PRECISION)
         y = jnp.zeros((2 * M, ycols), jnp.float32)
         for s in range(width):
             y = y + jax.lax.dot_general(
                 g_ref[s], F[:, s : s + ycols],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=_FILTER_PRECISION,
+                precision=prec,
             )
-    _demod_tail(y[:M], y[M:], tsign_ref, nmask_ref, bits_ref, hit_ref,
+    _demod_tail(y[:M], y[M:], w4_ref, nmask_ref, bits_ref, hit_ref,
                 mag_ref, tile=T, sps=sps, lag=lag, dev_skip=dev_skip)
 
 
-def _demod_tail(y_i, y_q, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
+# Shifts manufactured per strided roll in the AA correlation. Measured
+# on v5e at the production config (bf16x2w, tile 2048): GRP=4 2.18,
+# GRP=8 2.28, GRP=16 2.28 ms/block — BUT GRP=4 decodes ZERO packets on
+# hardware (the (8, 40, 160) unaligned-lane w4 or the 8-group strided
+# rotate miscompiles; interpret mode is correct either way), verified
+# by tools/validate_fused_tpu.py. GRP=8 is the hardware-validated
+# setting; do not change without re-running that tool on a real chip.
+AA_GRP = 8
+
+
+def _demod_tail(y_i, y_q, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
                 *, tile: int, sps: int, lag: int, dev_skip: str = ""):
     """Stages 3-6 shared by every filterbank inner: phase-diff decisions,
     AA correlation, RSSI window sums, lattice writes."""
@@ -266,14 +315,53 @@ def _demod_tail(y_i, y_q, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
         bits = d > 0
     bits_ref[:] = bits[:, :T].astype(jnp.int8)
 
-    # per-channel AA correlation: 32 shifted FMAs of the +-1 lattice
-    if "aa" in dev_skip:            # dev-only stage timing knob
-        hit_ref[:] = bits[:, :T].astype(jnp.int8)
-    else:
+    # Per-channel AA correlation. The naive form is 32 shifted FMAs of
+    # the +-1 lattice — 32 unaligned lane slices = 32 Mosaic rolls
+    # (~0.35 us each, width-independent), which made this stage nearly
+    # as expensive as the filterbank. Instead each strided
+    # tpu.dynamic_rotate manufactures AA_GRP shifts at once (row r of
+    # the rolled broadcast holds the lattice left-shifted by
+    # sps*(g0 + AA_GRP-1-r)) and the per-channel weighted reduce is ONE
+    # block-diagonal (M, AA_GRP*M) MXU matmul per group (w4_ref, built
+    # by _aa_w4 outside the kernel): 4 rolls + 4 small matmuls replace
+    # 32 rolls + FMAs (measured 1.40x on the stage). Exact: operands
+    # are +-1/0 (bf16-representable) with f32 accumulation, so the
+    # acc == n_mask hit test is unchanged.
+    if "aafma" in dev_skip:         # dev-only A/B knob: 32-FMA AA form
         s_lat = jnp.where(bits, 1.0, -1.0)
         acc = jnp.zeros((M, T), jnp.float32)
         for j in range(AA_BITS):
-            acc = acc + s_lat[:, j * sps : j * sps + T] * tsign_ref[:, j : j + 1]
+            # diagonal of w4: home column block r of group g holds
+            # tsign[:, g*AA_GRP + AA_GRP-1-r] on its diagonal
+            g, r = divmod(j, AA_GRP)
+            r = AA_GRP - 1 - r
+            wj = w4_ref[g, :, r * M : (r + 1) * M]
+            wcol = jnp.sum(wj * jnp.eye(M, dtype=jnp.float32), axis=1,
+                           keepdims=True)
+            acc = acc + s_lat[:, j * sps : j * sps + T] * wcol
+        hit_ref[:] = (acc == nmask_ref[0, 0]).astype(jnp.int8)
+    elif "aa" in dev_skip:          # dev-only stage timing knob
+        hit_ref[:] = bits[:, :T].astype(jnp.int8)
+    else:
+        s_lat = jnp.where(bits, 1.0, -1.0)              # (M, nb)
+        # tpu.dynamic_rotate rejects unaligned lane shapes: pad nb up to
+        # the 128 tile. The pad columns are never read into x[:, :T] —
+        # the largest shift sps*(AA_BITS-1) reads up to column
+        # T-1 + sps*(AA_BITS-1) = nb-1, the last REAL column.
+        nbp = -(-nb // 128) * 128
+        if nbp != nb:
+            s_lat = jnp.concatenate(
+                [s_lat, jnp.zeros((M, nbp - nb), jnp.float32)], axis=1)
+        acc = jnp.zeros((M, T), jnp.float32)
+        for g in range(AA_BITS // AA_GRP):
+            g0 = AA_GRP * g
+            xb = jnp.broadcast_to(s_lat[None], (AA_GRP, M, nbp))
+            x = pltpu.roll(xb, nbp - sps * (g0 + AA_GRP - 1), 2,
+                           stride=sps, stride_axis=0).reshape(AA_GRP * M, nbp)
+            acc = acc + jax.lax.dot_general(
+                w4_ref[g], x[:, :T],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         hit_ref[:] = (acc == nmask_ref[0, 0]).astype(jnp.int8)
 
     # RSSI: mean(|I|+|Q|) over the 32-symbol AA window (btle_rx.c:2234-2252)
@@ -289,7 +377,7 @@ def _demod_tail(y_i, y_q, tsign_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
         mag_ref[:] = w[:, :T] * (1.0 / win)
 
 
-def _kernel_poly(f_hbm, kc_ref, w_ref, tsign_ref, nmask_ref, bits_ref,
+def _kernel_poly(f_hbm, kc_ref, w_ref, w4_ref, nmask_ref, bits_ref,
                  hit_ref, mag_ref, fbuf, ue_ref, uo_ref, sem, *, tile: int,
                  width: int, sps: int, lag: int, dev_skip: str = ""):
     """True-polyphase inner: per-branch taps as VPU shifted FMAs over the
@@ -336,7 +424,7 @@ def _kernel_poly(f_hbm, kc_ref, w_ref, tsign_ref, nmask_ref, bits_ref,
                                dimension_numbers=dn,
                                preferred_element_type=jnp.float32,
                                precision=_FILTER_PRECISION))
-    _demod_tail(y[:M], y[M:], tsign_ref, nmask_ref, bits_ref, hit_ref,
+    _demod_tail(y[:M], y[M:], w4_ref, nmask_ref, bits_ref, hit_ref,
                 mag_ref, tile=T, sps=sps, lag=lag, dev_skip=dev_skip)
 
 
@@ -414,6 +502,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
         aa_rows = jnp.broadcast_to(aa_rows, (M, AA_BITS))
     tsign = ((aa_rows.astype(jnp.float32) * 2 - 1)
              * aa_mask.astype(jnp.float32)[None, :])          # (40, 32)
+    w4 = _aa_w4(tsign)
     n_mask = jnp.sum(aa_mask.astype(jnp.float32)).reshape(1, 1)
 
     # per-inner kernel, weight operands, weight specs and scratch; the
@@ -472,7 +561,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
             pl.BlockSpec(memory_space=pl.ANY
                          if interpret else pltpu.HBM),
             *w_specs,
-            pl.BlockSpec((M, AA_BITS), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec(w4.shape, lambda i: (0, 0, 0), memory_space=vm),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -486,7 +575,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
         ],
         scratch_shapes=[*scratch, pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(frames, *weights, tsign, n_mask)
+    )(frames, *weights, w4, n_mask)
 
     n_bits = k_out - lag
     n_hit = n_bits - (AA_BITS - 1) * sps
