@@ -96,21 +96,31 @@ def main():
     # this backend (e.g. CPU-only environments).
     import sys
 
-    try:
-        # production mode: fused Pallas pipeline with the bf16 hi/lo
-        # weight pair — exact-ish filter response (~-96 dB), bf16
-        # operands (exact for int8 SDR sources). See PERF.md for the
-        # dynamic-range / throughput ladder incl. the HIGHEST-precision
-        # f32 mode.
-        path = "fused-bf16x2w"
-        step = make_step(wideband_scan_fused, compute_dtype="bf16x2w")
-        float(fold([step(*b) for b in blocks[:2]]))  # compile + warm up
-    except Exception as e:  # pragma: no cover - fallback path
-        print(f"# fused front end unavailable ({type(e).__name__}); "
-              "falling back to the XLA pipeline", file=sys.stderr)
-        path = "xla"
-        step = make_step(wideband_scan)
-        float(fold([step(*b) for b in blocks[:2]]))
+    # production mode: fused Pallas pipeline with the bf16 hi/lo
+    # weight pair — exact-ish filter response (~-96 dB), bf16
+    # operands (exact for int8 SDR sources). See PERF.md for the
+    # dynamic-range / throughput ladder incl. the HIGHEST-precision
+    # f32 mode. The remote TPU compile helper occasionally returns a
+    # transient HTTP 500 — retry once before concluding the Pallas
+    # path is genuinely unavailable (a silent one-off flake would
+    # otherwise record the much slower XLA fallback as the metric).
+    path = "fused-bf16x2w"
+    step = make_step(wideband_scan_fused, compute_dtype="bf16x2w")
+    for attempt in (1, 2):
+        try:
+            float(fold([step(*b) for b in blocks[:2]]))  # compile + warm
+            break
+        except Exception as e:  # pragma: no cover - fallback path
+            if attempt == 1:
+                print(f"# fused compile failed once ({type(e).__name__}); "
+                      "retrying", file=sys.stderr)
+                time.sleep(5)
+                continue
+            print(f"# fused front end unavailable ({type(e).__name__}); "
+                  "falling back to the XLA pipeline", file=sys.stderr)
+            path = "xla"
+            step = make_step(wideband_scan)
+            float(fold([step(*b) for b in blocks[:2]]))
 
     # timed: async pipeline over rotating distinct blocks; each trial is
     # forced by ONE host fetch of the folded checksum (the ~27 ms tunnel
