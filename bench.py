@@ -106,12 +106,16 @@ def main():
     # otherwise record the much slower XLA fallback as the metric).
     path = "fused-bf16x2w"
     step = make_step(wideband_scan_fused, compute_dtype="bf16x2w")
+    has_accel = any(d.platform != "cpu" for d in jax.devices())
     for attempt in (1, 2):
         try:
             float(fold([step(*b) for b in blocks[:2]]))  # compile + warm
             break
         except Exception as e:  # pragma: no cover - fallback path
-            if attempt == 1:
+            if attempt == 1 and has_accel:
+                # only worth retrying where the failure can BE transient
+                # (the remote compile helper); CPU-only failures are
+                # deterministic — fall back immediately
                 print(f"# fused compile failed once ({type(e).__name__}); "
                       "retrying", file=sys.stderr)
                 time.sleep(5)
@@ -121,6 +125,7 @@ def main():
             path = "xla"
             step = make_step(wideband_scan)
             float(fold([step(*b) for b in blocks[:2]]))
+            break
 
     # timed: async pipeline over rotating distinct blocks; each trial is
     # forced by ONE host fetch of the folded checksum (the ~27 ms tunnel

@@ -98,7 +98,7 @@ def _g_chunks(num_taps: int) -> np.ndarray:
     (K pads to the 128 tile either way).
 
     (Negative result, measured: manufacturing X with ONE strided lane
-    rotate per chunk instead of the chunk slice-copies ran 1.14x on an
+    rotate per chunk instead of the chunk slice-copies ran 1.06x on an
     isolated f32 inner, but the 5 chained 2.7 MB rolled broadcasts blow
     the 16 MB Mosaic stack inside the full kernel even when stored
     through scratch, and the bf16 modes cannot rotate packed vectors —
@@ -223,8 +223,8 @@ def _fcols(tile: int, width: int, sps: int, lag: int) -> int:
     return -(-need // 128) * 128
 
 
-def _kernel(f_hbm, g_ref, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
-            fbuf, xbuf, sem, *, tile: int, width: int, sps: int,
+def _kernel(f_hbm, g_ref, w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
+            mag_ref, fbuf, xbuf, sem, *, tile: int, width: int, sps: int,
             lag: int, inner: str, dev_skip: str = ""):
     T = tile
     ycols = _ycols(T, sps, lag)
@@ -234,7 +234,13 @@ def _kernel(f_hbm, g_ref, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
     cp.start()
     cp.wait()
 
-    # filterbank + DFT on the MXU
+    # filterbank + DFT on the MXU. Precision: for bf16 weights DEFAULT
+    # is already the exact bf16-multiply / f32-accumulate pass —
+    # HIGHEST adds nothing for bf16 inputs (and crashes the TPU
+    # compiler on this kernel). HIGHEST only matters for f32 operands
+    # (multi-pass vs 1 silent bf16 pass). hilo implies bf16 weights.
+    prec = (jax.lax.Precision.DEFAULT if g_ref.dtype == jnp.bfloat16
+            else _FILTER_PRECISION)
     if inner == "im2col":
         # chunked im2col: contract (2M, chunk*40) x (chunk*40, ycols) —
         # ~4x better MXU utilization than per-shift 40-deep dots.
@@ -242,13 +248,6 @@ def _kernel(f_hbm, g_ref, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
         # DEFAULT-precision passes per chunk -> exact-ish weights).
         hilo = g_ref.shape[0] == 2 * N_CHUNKS
         chunk = g_ref.shape[2] // (2 * D)
-        # bf16 operands: DEFAULT is already the exact bf16-multiply /
-        # f32-accumulate pass — HIGHEST adds nothing for bf16 inputs
-        # (and crashes the TPU compiler on this kernel). HIGHEST only
-        # matters for f32 operands (multi-pass vs 1 silent bf16 pass).
-        prec = (jax.lax.Precision.DEFAULT
-                if (hilo or g_ref.dtype == jnp.bfloat16)
-                else _FILTER_PRECISION)
         y = jnp.zeros((2 * M, ycols), jnp.float32)
         for c in range(N_CHUNKS):
             if "col" not in dev_skip:   # dev-only stage timing knob
@@ -275,8 +274,6 @@ def _kernel(f_hbm, g_ref, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
     else:
         # per-shift accumulating dots (simplest correct form)
         F = fbuf[:, : ycols + width - 1]
-        prec = (jax.lax.Precision.DEFAULT if g_ref.dtype == jnp.bfloat16
-                else _FILTER_PRECISION)
         y = jnp.zeros((2 * M, ycols), jnp.float32)
         for s in range(width):
             y = y + jax.lax.dot_general(
@@ -285,7 +282,7 @@ def _kernel(f_hbm, g_ref, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
-    _demod_tail(y[:M], y[M:], w4_ref, nmask_ref, bits_ref, hit_ref,
+    _demod_tail(y[:M], y[M:], w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
                 mag_ref, tile=T, sps=sps, lag=lag, dev_skip=dev_skip)
 
 
@@ -299,8 +296,9 @@ def _kernel(f_hbm, g_ref, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
 AA_GRP = 8
 
 
-def _demod_tail(y_i, y_q, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
-                *, tile: int, sps: int, lag: int, dev_skip: str = ""):
+def _demod_tail(y_i, y_q, w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
+                mag_ref, *, tile: int, sps: int, lag: int,
+                dev_skip: str = ""):
     """Stages 3-6 shared by every filterbank inner: phase-diff decisions,
     AA correlation, RSSI window sums, lattice writes."""
     T = tile
@@ -324,21 +322,14 @@ def _demod_tail(y_i, y_q, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
     # sps*(g0 + AA_GRP-1-r)) and the per-channel weighted reduce is ONE
     # block-diagonal (M, AA_GRP*M) MXU matmul per group (w4_ref, built
     # by _aa_w4 outside the kernel): 4 rolls + 4 small matmuls replace
-    # 32 rolls + FMAs (measured 1.40x on the stage). Exact: operands
-    # are +-1/0 (bf16-representable) with f32 accumulation, so the
-    # acc == n_mask hit test is unchanged.
+    # 32 rolls + FMAs (stage 0.47 -> 0.25 ms/block in-kernel A/B). Exact:
+    # operands are +-1/0 (bf16-representable) with f32 accumulation, so
+    # the acc == n_mask hit test is unchanged.
     if "aafma" in dev_skip:         # dev-only A/B knob: 32-FMA AA form
         s_lat = jnp.where(bits, 1.0, -1.0)
         acc = jnp.zeros((M, T), jnp.float32)
         for j in range(AA_BITS):
-            # diagonal of w4: home column block r of group g holds
-            # tsign[:, g*AA_GRP + AA_GRP-1-r] on its diagonal
-            g, r = divmod(j, AA_GRP)
-            r = AA_GRP - 1 - r
-            wj = w4_ref[g, :, r * M : (r + 1) * M]
-            wcol = jnp.sum(wj * jnp.eye(M, dtype=jnp.float32), axis=1,
-                           keepdims=True)
-            acc = acc + s_lat[:, j * sps : j * sps + T] * wcol
+            acc = acc + s_lat[:, j * sps : j * sps + T] * ts_ref[:, j : j + 1]
         hit_ref[:] = (acc == nmask_ref[0, 0]).astype(jnp.int8)
     elif "aa" in dev_skip:          # dev-only stage timing knob
         hit_ref[:] = bits[:, :T].astype(jnp.int8)
@@ -377,7 +368,7 @@ def _demod_tail(y_i, y_q, w4_ref, nmask_ref, bits_ref, hit_ref, mag_ref,
         mag_ref[:] = w[:, :T] * (1.0 / win)
 
 
-def _kernel_poly(f_hbm, kc_ref, w_ref, w4_ref, nmask_ref, bits_ref,
+def _kernel_poly(f_hbm, kc_ref, w_ref, w4_ref, ts_ref, nmask_ref, bits_ref,
                  hit_ref, mag_ref, fbuf, ue_ref, uo_ref, sem, *, tile: int,
                  width: int, sps: int, lag: int, dev_skip: str = ""):
     """True-polyphase inner: per-branch taps as VPU shifted FMAs over the
@@ -424,7 +415,7 @@ def _kernel_poly(f_hbm, kc_ref, w_ref, w4_ref, nmask_ref, bits_ref,
                                dimension_numbers=dn,
                                preferred_element_type=jnp.float32,
                                precision=_FILTER_PRECISION))
-    _demod_tail(y[:M], y[M:], w4_ref, nmask_ref, bits_ref, hit_ref,
+    _demod_tail(y[:M], y[M:], w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
                 mag_ref, tile=T, sps=sps, lag=lag, dev_skip=dev_skip)
 
 
@@ -562,6 +553,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
                          if interpret else pltpu.HBM),
             *w_specs,
             pl.BlockSpec(w4.shape, lambda i: (0, 0, 0), memory_space=vm),
+            pl.BlockSpec((M, AA_BITS), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -575,7 +567,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
         ],
         scratch_shapes=[*scratch, pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
-    )(frames, *weights, w4, n_mask)
+    )(frames, *weights, w4, tsign, n_mask)
 
     n_bits = k_out - lag
     n_hit = n_bits - (AA_BITS - 1) * sps

@@ -44,13 +44,16 @@ CHUNK = 13
 N_TILES = 64             # one 131k block worth
 
 rng = np.random.default_rng(0)
+N_BLOCKS = 4  # distinct input blocks rotated per dispatch
 G = rng.normal(size=(N_CHUNKS, 2 * M, CHUNK * 2 * D)).astype(np.float32)
-FRAMES = rng.normal(size=(2 * D, N_TILES * T + FCOLS)).astype(np.float32)
+FRAMES = [rng.normal(size=(2 * D, N_TILES * T + FCOLS)).astype(np.float32)
+          for _ in range(N_BLOCKS)]
 TSIGN = rng.choice([-1.0, 1.0], size=(M, 32)).astype(np.float32)
 # fixed across variants (a fresh rng draw per make_aa call would make
 # the checksums incomparable)
-LAT = rng.choice([-1.0, 1.0],
-                 size=(M, N_TILES * T + 128)).astype(np.float32)
+LAT = [rng.choice([-1.0, 1.0],
+                  size=(M, N_TILES * T + 128)).astype(np.float32)
+       for _ in range(N_BLOCKS)]
 
 
 # ---------------------------------------------------------------- im2col
@@ -98,7 +101,7 @@ def make_im2col(variant):
         gr = g.reshape(N_CHUNKS, 2 * M, CHUNK, 2 * D)[:, :, ::-1, :]
         g = np.ascontiguousarray(gr.reshape(N_CHUNKS, 2 * M, CHUNK * 2 * D))
     gk = jnp.asarray(g, DT)
-    frames = jnp.asarray(FRAMES, DT)
+    frames = [jnp.asarray(f, DT) for f in FRAMES]
     vm = pltpu.VMEM
 
     @jax.jit
@@ -126,7 +129,6 @@ def make_im2col(variant):
 # ------------------------------------------------------------------- AA
 def _aa_kernel(s_hbm, w_ref, acc_ref, sbuf, sem, *, variant):
     i = pl.program_id(0)
-    nb = T + 124
     cp = pltpu.make_async_copy(s_hbm.at[:, pl.ds(i * T, T + 128)], sbuf, sem)
     cp.start()
     cp.wait()
@@ -174,7 +176,7 @@ def _aa_kernel(s_hbm, w_ref, acc_ref, sbuf, sem, *, variant):
 
 
 def make_aa(variant):
-    lat = jnp.asarray(LAT)
+    lat = [jnp.asarray(v) for v in LAT]
     w = TSIGN
     GRP = 8
     if variant == "sroll":
@@ -216,15 +218,20 @@ def fold(xs):
     return sum(xs)
 
 
-def measure(name, step, arg, iters=96, trials=9):
+def measure(name, step, args, iters=192, trials=9):
+    # args: list of DISTINCT device-resident inputs rotated per dispatch
+    # (identical repeated buffers measure suspiciously fast — CLAUDE.md)
+    # and >=192 dispatches per fetch keep the ~27 ms fetch floor plus
+    # the ~0.35 ms/dispatch overhead small relative to the block time;
+    # only A/B ratios between variants are floor-immune either way.
     t0 = time.perf_counter()
-    chk = float(step(arg)[1])
+    chk = float(step(args[0])[1])
     print(f"{name}: compile+warm {time.perf_counter() - t0:.1f}s "
           f"chk={chk:.6f}", flush=True)
     rates = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        scalars = [step(arg)[0] for _ in range(iters)]
+        scalars = [step(args[k % len(args)])[0] for k in range(iters)]
         float(fold(scalars))
         dt = time.perf_counter() - t0
         rates.append(dt / iters * 1e3)
