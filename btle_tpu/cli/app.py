@@ -170,6 +170,17 @@ def cmd_wideband(args):
     from ..stream.pcap import PcapWriter
     from ..wideband import WidebandConfig, WidebandSniffer
 
+    if args.selftest:
+        # known-answer test of the fused pipeline ON THIS BACKEND before
+        # committing to a capture run (a miscompiled kernel can run fine
+        # and decode nothing — see wideband/selftest.py)
+        from ..wideband.selftest import fused_selftest
+
+        dtype = "bf16x2w" if args.fused else "f32"
+        positions = fused_selftest(compute_dtype=dtype)
+        print(f"# self-test OK ({dtype}): decoded "
+              f"{sorted(positions)} at {positions}", file=sys.stderr)
+
     data = np.fromfile(args.bin, dtype={"i8": np.int8, "i16": np.int16,
                                         "f32": np.float32}[args.format])
     i_wb = data[0::2].astype(np.float32)
@@ -386,6 +397,9 @@ def build_parser():
                    help="follow CONNECT_REQs onto the data channels")
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas front end (TPU hardware)")
+    p.add_argument("--selftest", action="store_true",
+                   help="run the known-answer self-test on the attached "
+                        "backend before scanning (one extra compile)")
     p.set_defaults(fn=cmd_wideband)
 
     p = sub.add_parser("tx", help="synthesize packets to an IQ file")

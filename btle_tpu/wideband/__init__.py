@@ -10,4 +10,5 @@ from .channelizer import (  # noqa: F401
     synthesize_wideband,
 )
 from .fused import fused_frontend, wideband_scan_fused  # noqa: F401
+from .selftest import WidebandSelfTestError, fused_selftest  # noqa: F401
 from .sniffer import WidebandConfig, WidebandPacket, WidebandSniffer, wideband_scan  # noqa: F401

@@ -1,0 +1,140 @@
+"""Known-answer self-test (KAT) for the fused wideband pipeline.
+
+A Mosaic/XLA lowering regression can produce a kernel that compiles,
+runs, and returns well-formed arrays — that decode NOTHING. Observed on
+real hardware in this repo's history: an AA-correlation roll-group
+variant (AA_GRP=4) passed every interpret-mode test and timed fine on
+noise input, yet decoded zero packets on the physical chip (the strided
+rotate or the unaligned-lane weight operand miscompiles). Interpret-mode
+CI cannot catch that class of bug, and a throughput benchmark on noise
+cannot either — only a known-answer run ON THE ATTACHED BACKEND can.
+
+`fused_selftest()` synthesizes a deterministic 80 Msps scene (three ADV
+packets with fixed payloads on channels 37 / 17 / 39), runs it through
+`wideband_scan_fused` with the given configuration, and verifies every
+injected packet decodes CRC-OK with byte-exact PDU content on its
+channel. It is the TPU-era analog of the reference's loopback quick
+tests (BTLE README "quick test" flow: btle_tx air -> btle_rx decode).
+
+Intended use: once per deployment / backend / kernel-config change —
+e.g. `btle wideband --selftest ...` before a long capture run, or
+`fused_selftest()` at service start-up. One extra compile (~30 s-6 min
+through a tunneled remote compiler, seconds locally); the scene itself
+is ~3.5 ms of air.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class WidebandSelfTestError(RuntimeError):
+    """The fused pipeline failed to reproduce the known answer."""
+
+
+SELFTEST_CHANNELS = (37, 17, 39)
+_N_WB = 280_000  # 3.5 ms of 80 Msps air
+
+
+def _scene():
+    """Deterministic packets -> (wi, wq, expected {channel: pdu bytes})."""
+    from ..golden import model as G
+    from ..spec import bits as B
+    from .channelizer import synthesize_wideband
+
+    rng = np.random.default_rng(0xB7E)
+    signals, offsets, expected = {}, {}, {}
+    for k, ch in enumerate(SELFTEST_CHANNELS):
+        n_payload = 10 + 2 * k
+        hdr = 0x40 if ch in (37, 38, 39) else 0x01
+        payload = rng.integers(0, 256, n_payload, dtype=np.uint8)
+        pdu = np.concatenate([[hdr, n_payload], payload]).astype(np.uint8)
+        phy = G.assemble_phy_bits(B.bytes_to_bits(pdu), ch)
+        signals[ch] = G.gfsk_modulate_float(phy, 80)
+        offsets[ch] = 12_000 + 80_000 * k
+        expected[ch] = pdu
+    wi, wq = synthesize_wideband(signals, _N_WB, offsets)
+    # light deterministic noise so bit decisions are not degenerate ties
+    wi += rng.normal(0, 0.01, wi.shape).astype(np.float32)
+    wq += rng.normal(0, 0.01, wq.shape).astype(np.float32)
+    return wi, wq, expected
+
+
+def fused_selftest(compute_dtype: str = "f32", tile: int | None = None,
+                   inner: str | None = None, decode: str = "pallas",
+                   interpret: bool | None = None, scan_fn=None,
+                   max_candidates: int = 8) -> dict[int, int]:
+    """Run the known-answer scene through the fused pipeline and verify.
+
+    Arguments mirror `wideband_scan_fused`'s configuration so the test
+    exercises EXACTLY the mode about to be deployed. `interpret=None`
+    auto-selects interpret mode off-TPU (CPU cannot compile Mosaic).
+    Returns {channel: hit position} on success; raises
+    WidebandSelfTestError naming every missing/corrupt packet otherwise.
+    `scan_fn` overrides the scanned function (test seam).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..spec import bits as B
+    from ..spec import crc24 as C
+    from ..spec import whitening as W
+    from .channelizer import bin_to_channel, channel_to_bin
+    from .fused import wideband_scan_fused
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if scan_fn is None:
+        scan_fn = wideband_scan_fused
+
+    wi, wq, expected = _scene()
+    aa = jnp.asarray(B.hex_to_bits("d6be898e"))
+    mask = jnp.asarray(np.ones(32, np.int8))
+    whiten = jnp.asarray(np.stack(
+        [W.whitening_bits(bin_to_channel(m), 336) for m in range(40)]))
+    crc = jnp.asarray(
+        np.full(40, C.lfsr_init_to_table_init("555555"), np.int32))
+    adv = jnp.asarray(
+        np.array([bin_to_channel(m) in (37, 38, 39) for m in range(40)]))
+
+    out = scan_fn(jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten, crc,
+                  adv, sps=4, lag=4, max_candidates=max_candidates,
+                  compute_dtype=compute_dtype, tile=tile, inner=inner,
+                  decode=decode, interpret=interpret)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    failures, positions = [], {}
+    for ch, pdu in expected.items():
+        m = channel_to_bin(ch)
+        ok_slots = np.flatnonzero(out["crc_ok"][m])
+        matched = False
+        for k in ok_slots:
+            got = out["pdu_bytes"][m, k, : len(pdu)].astype(np.uint8)
+            if np.array_equal(got, pdu):
+                positions[ch] = int(out["pos"][m, k])
+                matched = True
+                break
+        if not matched:
+            if len(ok_slots) == 0:
+                failures.append(
+                    f"channel {ch}: no CRC-OK candidate "
+                    f"(num_hits={int(out['num_hits'][m])})")
+            else:
+                failures.append(
+                    f"channel {ch}: {len(ok_slots)} CRC-OK candidate(s) "
+                    "but none byte-match the injected PDU")
+    # any OTHER channel decoding CRC-OK would be a ghost (filterbank
+    # leakage or whitening/CRC row confusion) — equally a failure
+    inject_bins = {channel_to_bin(ch) for ch in expected}
+    ghosts = [bin_to_channel(m) for m in range(40)
+              if m not in inject_bins and out["crc_ok"][m].any()]
+    if ghosts:
+        failures.append(f"ghost CRC-OK packets on channels {sorted(ghosts)}")
+
+    if failures:
+        raise WidebandSelfTestError(
+            "fused wideband self-test FAILED "
+            f"(compute_dtype={compute_dtype}, inner={inner}, tile={tile}, "
+            f"decode={decode}, interpret={interpret}, "
+            f"backend={jax.default_backend()}): " + "; ".join(failures))
+    return positions
