@@ -300,3 +300,27 @@ def test_poly_tables_reconstruct_folded_weights(num_taps):
     np.testing.assert_allclose(g2, g, atol=1e-6)
     assert not kcoef[: 2 * D, 1::2].any()        # even rows: even shifts
     assert not kcoef[2 * D :, 0::2].any()        # odd rows: odd shifts
+
+
+def test_aa_mxu_equals_fma_form(rng):
+    """The block-diagonal MXU AA correlation (4 strided rolls + matmuls,
+    _demod_tail + _aa_w4) must produce IDENTICAL hit lattices to the
+    plain 32-shifted-FMA form (dev_skip="aafma" replays it) — both
+    compute the same exact small integers, so any difference means the
+    w4 weight layout or the roll shift geometry regressed. Exercised
+    with per-channel AA rows (hop-following re-key shape) and a
+    non-trivial care mask."""
+    wi, wq = _wideband(rng, chans=(37, 9, 39), n=80000)
+    aa_rows = jnp.asarray(rng.integers(0, 2, (40, 32)).astype(np.int8))
+    mask = np.ones(32, np.int8)
+    mask[5] = mask[17] = 0                       # care-mask holes
+    mask = jnp.asarray(mask)
+    with pltpu.force_tpu_interpret_mode():
+        bits_m, hit_m, _ = fused_frontend(
+            jnp.asarray(wi), jnp.asarray(wq), aa_rows, mask, tile=512,
+            interpret=True)
+        bits_f, hit_f, _ = fused_frontend(
+            jnp.asarray(wi), jnp.asarray(wq), aa_rows, mask, tile=512,
+            interpret=True, dev_skip="aafma")
+    np.testing.assert_array_equal(np.asarray(bits_m), np.asarray(bits_f))
+    np.testing.assert_array_equal(np.asarray(hit_m), np.asarray(hit_f))
