@@ -170,23 +170,29 @@ def cmd_wideband(args):
     from ..stream.pcap import PcapWriter
     from ..wideband import WidebandConfig, WidebandSniffer
 
+    cfg = WidebandConfig(follow_connections=args.follow, fused=args.fused)
     if args.selftest:
-        # known-answer test of the fused pipeline ON THIS BACKEND before
+        # known-answer test ON THIS BACKEND, of EXACTLY the pipeline and
+        # kernel configuration the scan below will deploy, before
         # committing to a capture run (a miscompiled kernel can run fine
         # and decode nothing — see wideband/selftest.py)
         from ..wideband.selftest import fused_selftest
 
-        dtype = "bf16x2w" if args.fused else "f32"
-        positions = fused_selftest(compute_dtype=dtype)
-        print(f"# self-test OK ({dtype}): decoded "
+        if cfg.fused:
+            positions = fused_selftest(compute_dtype=cfg.fused_dtype,
+                                       tile=cfg.fused_tile)
+            mode = f"fused {cfg.fused_dtype}"
+        else:
+            positions = fused_selftest(pipeline="xla")
+            mode = "xla"
+        print(f"# self-test OK ({mode}): decoded "
               f"{sorted(positions)} at {positions}", file=sys.stderr)
 
     data = np.fromfile(args.bin, dtype={"i8": np.int8, "i16": np.int16,
                                         "f32": np.float32}[args.format])
     i_wb = data[0::2].astype(np.float32)
     q_wb = data[1::2].astype(np.float32)
-    sn = WidebandSniffer(WidebandConfig(follow_connections=args.follow,
-                                        fused=args.fused))
+    sn = WidebandSniffer(cfg)
     pkts = sn.run(i_wb, q_wb)
     pcap = PcapWriter(args.pcap) if args.pcap else None
     for p in pkts:

@@ -63,44 +63,45 @@ def _scene():
 def fused_selftest(compute_dtype: str = "f32", tile: int | None = None,
                    inner: str | None = None, decode: str = "pallas",
                    interpret: bool | None = None, scan_fn=None,
-                   max_candidates: int = 8) -> dict[int, int]:
-    """Run the known-answer scene through the fused pipeline and verify.
+                   max_candidates: int = 8,
+                   pipeline: str = "fused") -> dict[int, int]:
+    """Run the known-answer scene through the scan pipeline and verify.
 
     Arguments mirror `wideband_scan_fused`'s configuration so the test
-    exercises EXACTLY the mode about to be deployed. `interpret=None`
-    auto-selects interpret mode off-TPU (CPU cannot compile Mosaic).
-    Returns {channel: hit position} on success; raises
-    WidebandSelfTestError naming every missing/corrupt packet otherwise.
-    `scan_fn` overrides the scanned function (test seam).
+    exercises EXACTLY the mode about to be deployed — pass the SAME
+    compute_dtype/tile/inner the deployment will use, or
+    pipeline="xla" to test the XLA fallback path instead (the kernel
+    kwargs are then ignored). `interpret=None` auto-selects interpret
+    mode off-TPU (CPU cannot compile Mosaic). Returns
+    {channel: hit position} on success; raises WidebandSelfTestError
+    naming every missing/corrupt packet otherwise. `scan_fn` overrides
+    the scanned function (test seam; fused-style signature).
     """
     import jax
     import jax.numpy as jnp
 
-    from ..spec import bits as B
-    from ..spec import crc24 as C
-    from ..spec import whitening as W
     from .channelizer import bin_to_channel, channel_to_bin
     from .fused import wideband_scan_fused
+    from .sniffer import default_scan_tables, wideband_scan
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    if scan_fn is None:
-        scan_fn = wideband_scan_fused
 
     wi, wq, expected = _scene()
-    aa = jnp.asarray(B.hex_to_bits("d6be898e"))
-    mask = jnp.asarray(np.ones(32, np.int8))
-    whiten = jnp.asarray(np.stack(
-        [W.whitening_bits(bin_to_channel(m), 336) for m in range(40)]))
-    crc = jnp.asarray(
-        np.full(40, C.lfsr_init_to_table_init("555555"), np.int32))
-    adv = jnp.asarray(
-        np.array([bin_to_channel(m) in (37, 38, 39) for m in range(40)]))
+    aa, mask, whiten, crc, adv = default_scan_tables()
 
-    out = scan_fn(jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten, crc,
-                  adv, sps=4, lag=4, max_candidates=max_candidates,
-                  compute_dtype=compute_dtype, tile=tile, inner=inner,
-                  decode=decode, interpret=interpret)
+    if scan_fn is not None or pipeline == "fused":
+        fn = scan_fn or wideband_scan_fused
+        out = fn(jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten, crc,
+                 adv, sps=4, lag=4, max_candidates=max_candidates,
+                 compute_dtype=compute_dtype, tile=tile, inner=inner,
+                 decode=decode, interpret=interpret)
+    elif pipeline == "xla":
+        out = wideband_scan(jnp.asarray(wi), jnp.asarray(wq), aa, mask,
+                            whiten, crc, adv, sps=4, lag=4,
+                            max_candidates=max_candidates)
+    else:
+        raise ValueError(f"unknown pipeline {pipeline!r}")
     out = {k: np.asarray(v) for k, v in out.items()}
 
     failures, positions = [], {}
@@ -133,8 +134,8 @@ def fused_selftest(compute_dtype: str = "f32", tile: int | None = None,
 
     if failures:
         raise WidebandSelfTestError(
-            "fused wideband self-test FAILED "
-            f"(compute_dtype={compute_dtype}, inner={inner}, tile={tile}, "
+            f"wideband self-test FAILED (pipeline={pipeline}, "
+            f"compute_dtype={compute_dtype}, inner={inner}, tile={tile}, "
             f"decode={decode}, interpret={interpret}, "
             f"backend={jax.default_backend()}): " + "; ".join(failures))
     return positions

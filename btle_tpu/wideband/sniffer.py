@@ -154,6 +154,26 @@ class WidebandPacket:
     payload: object | None = None
 
 
+def default_scan_tables():
+    """Standard advertising-scan tables for the 40-bin wideband scan:
+    (aa_bits (32,), aa_mask (32,), whiten_rows (40, 336),
+    crc_inits (40,), adv_flags (40,)) — the BLE defaults (ADV access
+    address, all-care mask, per-channel whitening, 0x555555 CRC init,
+    adv flags on 37/38/39). One definition shared by bench.py,
+    tools/bench_latency.py and wideband.selftest; WidebandSniffer builds
+    config-dependent variants (custom AA / CRC init / data-channel
+    re-key) itself."""
+    aa_bits = jnp.asarray(B.hex_to_bits("d6be898e"))
+    aa_mask = jnp.asarray(np.ones(32, np.int8))
+    whiten_rows = jnp.asarray(np.stack(
+        [W.whitening_bits(bin_to_channel(m), 336) for m in range(M)]))
+    crc_inits = jnp.asarray(
+        np.full(M, C.lfsr_init_to_table_init("555555"), np.int32))
+    adv_flags = jnp.asarray(
+        np.array([bin_to_channel(m) in (37, 38, 39) for m in range(M)]))
+    return aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags
+
+
 class WidebandSniffer:
     """Streaming 40-channel sniffer over wideband blocks."""
 

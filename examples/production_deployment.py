@@ -127,14 +127,18 @@ def main():
     cfg = WidebandConfig(scan_len_ch=8192, fused=on_tpu,
                          fused_dtype="bf16x2w" if on_tpu else "f32")
 
-    # Deployment gate: known-answer self-test of the EXACT kernel config
-    # about to run, on the attached backend (a miscompiled kernel can run
-    # fine and decode nothing — wideband/selftest.py; CLI equivalent:
-    # `wideband --selftest`). One extra compile, ~3.5 ms of air.
+    # Deployment gate: known-answer self-test of EXACTLY the pipeline
+    # and kernel config about to run, on the attached backend (a
+    # miscompiled kernel can run fine and decode nothing —
+    # wideband/selftest.py; CLI equivalent: `wideband --selftest`).
+    # One extra compile, ~3.5 ms of air.
     from btle_tpu.wideband import fused_selftest
 
-    fused_selftest(compute_dtype=cfg.fused_dtype if cfg.fused else "f32")
-    print("fused self-test: OK")
+    if cfg.fused:
+        fused_selftest(compute_dtype=cfg.fused_dtype, tile=cfg.fused_tile)
+    else:
+        fused_selftest(pipeline="xla")
+    print("self-test: OK")
 
     wb = WidebandSniffer(cfg)
     pdu = B.bytes_to_bits(np.array([0x42, 6, 1, 2, 3, 4, 5, 6], np.uint8))

@@ -77,3 +77,9 @@ class TestFusedSelftest:
         main(["wideband", "--bin", str(f), "--selftest"])
         err = capsys.readouterr().err
         assert "self-test OK" in err
+
+    def test_passes_xla_pipeline(self):
+        """pipeline="xla" exercises the fallback scan path (what a
+        non-fused deployment actually runs)."""
+        positions = fused_selftest(pipeline="xla")
+        assert sorted(positions) == sorted(SELFTEST_CHANNELS)

@@ -53,23 +53,14 @@ def main():
     import jax.numpy as jnp
 
     from btle_tpu.rx.pipeline import required_halo
-    from btle_tpu.spec import bits as B
-    from btle_tpu.spec import crc24 as C
-    from btle_tpu.spec import whitening as W
-    from btle_tpu.wideband.channelizer import DEFAULT_TAPS, bin_to_channel
+    from btle_tpu.wideband.channelizer import DEFAULT_TAPS
     from btle_tpu.wideband.fused import wideband_scan_fused
-    from btle_tpu.wideband.sniffer import CH_LAG
+    from btle_tpu.wideband.sniffer import CH_LAG, default_scan_tables
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
 
-    aa_bits = jnp.asarray(B.hex_to_bits("d6be898e"))
-    aa_mask = jnp.asarray(np.ones(32, np.int8))
-    whiten_rows = jnp.asarray(np.stack(
-        [W.whitening_bits(bin_to_channel(m), 336) for m in range(40)]))
-    crc_inits = jnp.asarray(
-        np.full(40, C.lfsr_init_to_table_init("555555"), np.int32))
-    adv_flags = jnp.asarray(
-        np.array([bin_to_channel(m) in (37, 38, 39) for m in range(40)]))
+    aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags = \
+        default_scan_tables()
 
     @partial(jax.jit, static_argnames=("n",))
     def gen(k, n):
