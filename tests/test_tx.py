@@ -198,3 +198,45 @@ class TestDescriptorFuzz:
                     parse_descriptor(d[:cut])
                 except DescriptorError:
                     pass
+
+
+class TestShippedExampleFiles:
+    """The repo ships example descriptor files (examples/packets/) in the
+    reference's packets.txt tradition (connection establishment,
+    discovery, iBeacon — btle-tools/src/packets*.txt). Each must parse,
+    synthesize, and decode back CRC-OK."""
+
+    FILES = {
+        "connection_establishment": (3, 1),
+        "discovery": (1, 3),
+        "ibeacon": (1, 10),
+    }
+
+    @pytest.mark.parametrize("name", sorted(FILES))
+    def test_parses_synthesizes_decodes(self, name):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "examples", "packets", f"{name}.txt")
+        n_items, rep = self.FILES[name]
+        specs, got_rep = read_packet_file(path)
+        assert (len(specs), got_rep) == (n_items, rep)
+        for spec in specs:
+            [syn] = synthesize([spec], flavor="c", sps=4)
+            pad = np.zeros(200, np.int16)
+            i = np.concatenate([pad, syn.i.astype(np.int16), pad])
+            q = np.concatenate([pad, syn.q.astype(np.int16), pad])
+            if spec.channel in (37, 38, 39):
+                res = stream_decode(i, q, spec.channel, sps=4)
+            else:
+                from btle_tpu.spec import crc24 as C
+
+                aa = int.from_bytes(
+                    B.bits_to_bytes(spec.info_bits)[1:5].tobytes(), "little")
+                res = stream_decode(
+                    i, q, spec.channel, access_address=aa,
+                    crc_init_table=C.crc_init_reorder(
+                        int.from_bytes(bytes.fromhex(spec.crc_init_hex),
+                                       "big")), sps=4)
+            ok = [p for p in res.packets if p.crc_ok]
+            assert len(ok) == 1, (name, spec.pkt_type)
