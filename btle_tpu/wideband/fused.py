@@ -117,19 +117,22 @@ def _g_chunks(num_taps: int) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def _g_chunks_hilo(num_taps: int) -> np.ndarray:
-    """(2*N_CHUNKS, 80, chunk*40) bf16 hi/lo im2col weight pair.
+    """(N_CHUNKS, 160, chunk*40) bf16 hi/lo im2col weight pair, stacked.
 
-    gc = hi + lo exactly, with both halves bf16-representable: two
-    DEFAULT-precision MXU passes then evaluate the filterbank with
+    gc = hi + lo exactly, with both halves bf16-representable: the
+    DEFAULT-precision MXU pass then evaluates the filterbank with
     ~f32-faithful WEIGHTS (~-96 dB response error) while operands stay
-    bf16 (1 pass each). Chunk order: all hi chunks, then all lo chunks.
+    bf16. The hi and lo halves share the SAME im2col operand, so they
+    stack on the output-row axis (rows 0..159 = [hi; lo]) and each chunk
+    costs ONE matmul whose row halves are summed — instead of two
+    80-row dots (same MXU row-tiles, half the instruction overhead).
     """
     import ml_dtypes
 
     gc = _g_chunks(num_taps).astype(np.float32)
     hi = gc.astype(ml_dtypes.bfloat16).astype(np.float32)
     lo = (gc - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
-    return np.ascontiguousarray(np.concatenate([hi, lo], axis=0))
+    return np.ascontiguousarray(np.concatenate([hi, lo], axis=1))
 
 
 @lru_cache(maxsize=None)
@@ -244,9 +247,10 @@ def _kernel(f_hbm, g_ref, w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
     if inner == "im2col":
         # chunked im2col: contract (2M, chunk*40) x (chunk*40, ycols) —
         # ~4x better MXU utilization than per-shift 40-deep dots.
-        # hilo mode: g_ref holds a bf16 hi/lo weight pair (two
-        # DEFAULT-precision passes per chunk -> exact-ish weights).
-        hilo = g_ref.shape[0] == 2 * N_CHUNKS
+        # hilo mode: g_ref rows are a stacked bf16 hi/lo weight pair
+        # ([hi; lo], 160 rows) sharing one operand — each chunk is ONE
+        # matmul whose row halves sum to the exact-ish f32 weights.
+        hilo = g_ref.shape[1] == 4 * M
         chunk = g_ref.shape[2] // (2 * D)
         y = jnp.zeros((2 * M, ycols), jnp.float32)
         for c in range(N_CHUNKS):
@@ -258,19 +262,13 @@ def _kernel(f_hbm, g_ref, w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
             if "mm" in dev_skip:        # dev-only stage timing knob
                 y = y + xbuf[: 2 * M, :ycols].astype(jnp.float32)
                 continue
-            y = y + jax.lax.dot_general(
+            yc = jax.lax.dot_general(
                 g_ref[c], xbuf[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
-            if hilo:
-                y = y + jax.lax.dot_general(
-                    g_ref[N_CHUNKS + c], xbuf[:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )
+            y = y + (yc[: 2 * M] + yc[2 * M :] if hilo else yc)
     else:
         # per-shift accumulating dots (simplest correct form)
         F = fbuf[:, : ycols + width - 1]
@@ -529,7 +527,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
             gk = jnp.asarray(_g_chunks_hilo(num_taps) if hilo
                              else _g_chunks(num_taps), cdtype)
             chunk = gk.shape[2] // (2 * D)
-            g_spec = pl.BlockSpec((gk.shape[0], 2 * M, chunk * 2 * D),
+            g_spec = pl.BlockSpec((gk.shape[0], gk.shape[1], chunk * 2 * D),
                                   lambda i: (0, 0, 0), memory_space=vm)
             x_scratch = vm((chunk * 2 * D, _ycols(T, sps, lag)), cdtype)
         else:  # "dots"

@@ -273,6 +273,89 @@ if which == "poly":
         except Exception as e:
             print(f"poly-{dt}-full16-t{tile}: FAILED {type(e).__name__}: {e}", flush=True)
 
+if which == "r3a":
+    # round-3a: stacked hi/lo single-dot (current code) at the bench
+    # config, plus dispatch amortization via 262k blocks.
+    @jax.jit
+    def step16(i, q):
+        out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                  sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                  tile=2048, compute_dtype="bf16x2w")
+        return checksum(out)
+    measure(step16, "x2w-stacked-t2048-131k", iters=192, trials=3)
+    # 262k block: halves per-dispatch overhead per sample; 32 candidate
+    # slots keep the per-air-time slot density of the 131k/16 config
+    big_ch = 262144
+    n_big = (big_ch + halo_ch) * 20
+    bigs = []
+    k2 = jax.random.PRNGKey(7)
+    for _ in range(8):
+        k2, sub = jax.random.split(k2)
+        bigs.append(jax.block_until_ready(gen(sub, n_big)))
+    def measure_big(step, name, iters=96, trials=3):
+        t0=time.perf_counter()
+        float(fold([step(*b) for b in bigs[:2]]))
+        print(f"{name}: compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+        rates=[]
+        for _ in range(trials):
+            t0=time.perf_counter()
+            scalars=[step(*bigs[k%len(bigs)]) for k in range(iters)]
+            float(fold(scalars))
+            rates.append(iters/(time.perf_counter()-t0))
+        med = sorted(rates)[len(rates)//2]
+        msps = big_ch*20*med/1e6
+        allms = ", ".join(f"{1000.0/r:.2f}" for r in rates)
+        print(f"{name}: ms/block [{allms}] median {1000.0/med:.2f} ms -> {msps:.0f} Msps ({msps/800:.2f}x)", flush=True)
+    for tile in (2048, 3072):
+        @jax.jit
+        def stepb(i, q, _t=tile):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=32, num_taps=DEFAULT_TAPS,
+                                      tile=_t, compute_dtype="bf16x2w")
+            return checksum(out)
+        measure_big(stepb, f"x2w-stacked-t{tile}-262k")
+
+if which == "r3b":
+    # round-3b: N distinct blocks per dispatch (per-dispatch overhead
+    # ~0.35 ms on the tunnel; production streaming batches dispatches)
+    def step_n(nblk):
+        @jax.jit
+        def step(*iq):
+            tot = jnp.float32(0)
+            for t in range(nblk):
+                out = wideband_scan_fused(iq[2*t], iq[2*t+1], aa_bits, aa_mask,
+                                          whiten_rows, crc_inits, adv_flags,
+                                          sps=4, lag=LAG, max_candidates=16,
+                                          num_taps=DEFAULT_TAPS, tile=2048,
+                                          compute_dtype="bf16x2w")
+                tot = tot + checksum(out)
+            return tot
+        return step
+    for nblk in (2, 4):
+        step = step_n(nblk)
+        args = []
+        for k in range(nblk):
+            args.extend(blocks[k])
+        t0=time.perf_counter()
+        float(fold([step(*args), step(*args)]))
+        print(f"batch{nblk}: compile+warm {time.perf_counter()-t0:.1f}s", flush=True)
+        iters = 192 // nblk
+        rates=[]
+        for _ in range(3):
+            t0=time.perf_counter()
+            scalars=[]
+            for k in range(iters):
+                a=[]
+                for t in range(nblk):
+                    a.extend(blocks[(k*nblk+t)%len(blocks)])
+                scalars.append(step(*a))
+            float(fold(scalars))
+            rates.append(iters*nblk/(time.perf_counter()-t0))
+        med = sorted(rates)[len(rates)//2]
+        msps = scan_len_ch*20*med/1e6
+        allms = ", ".join(f"{1000.0/r:.2f}" for r in rates)
+        print(f"batch{nblk}: ms/block [{allms}] median {1000.0/med:.2f} ms -> {msps:.0f} Msps ({msps/800:.2f}x)", flush=True)
+
 if which == "tune3":
     for tile in (1024, 2048, 3072, 4096):
         @jax.jit
