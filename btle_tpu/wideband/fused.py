@@ -119,7 +119,8 @@ def _g_chunks(num_taps: int) -> np.ndarray:
 def _g_chunks_hilo(num_taps: int) -> np.ndarray:
     """(N_CHUNKS, 160, chunk*40) bf16 hi/lo im2col weight pair, stacked.
 
-    gc = hi + lo exactly, with both halves bf16-representable: the
+    gc = hi + lo to ~16 mantissa bits (~-96 dB — each half carries 8
+    bf16 mantissa bits), with both halves bf16-representable: the
     DEFAULT-precision MXU pass then evaluates the filterbank with
     ~f32-faithful WEIGHTS (~-96 dB response error) while operands stay
     bf16. The hi and lo halves share the SAME im2col operand, so they

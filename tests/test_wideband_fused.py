@@ -324,3 +324,31 @@ def test_aa_mxu_equals_fma_form(rng):
             interpret=True, dev_skip="aafma")
     np.testing.assert_array_equal(np.asarray(bits_m), np.asarray(bits_f))
     np.testing.assert_array_equal(np.asarray(hit_m), np.asarray(hit_f))
+
+
+def test_hilo_weight_pair_is_exact_and_stacked():
+    """The bf16 hi/lo im2col weight pair (fused._g_chunks_hilo) must
+    (a) sum to the f32 chunk weights with ~16-bit mantissa fidelity
+    (each half carries 8 bf16 mantissa bits — the property behind
+    bf16x2w's ~-96 dB filter response, vs ~-48 dB for hi alone) and
+    (b) stack hi over lo on the output-row axis (rows 0..79 hi,
+    80..159 lo) so the kernel's single-dot-per-chunk row-half sum
+    reconstructs the f32 matmul."""
+    import ml_dtypes
+
+    from btle_tpu.wideband.fused import M, _g_chunks, _g_chunks_hilo
+
+    gc = _g_chunks(1280).astype(np.float64)
+    pair = _g_chunks_hilo(1280)
+    assert pair.shape == (gc.shape[0], 4 * M, gc.shape[2])
+    hi = pair[:, : 2 * M].astype(np.float64)
+    lo = pair[:, 2 * M :].astype(np.float64)
+    scale = np.abs(gc).max()
+    err_pair = np.abs(hi + lo - gc).max() / scale
+    err_hi = np.abs(hi - gc).max() / scale
+    assert err_pair < 2.0 ** -15                 # ~-96 dB weight fidelity
+    assert err_pair < err_hi / 100               # lo half genuinely helps
+    # both halves must be bf16-representable (lossless cast round trip)
+    for half in (pair[:, : 2 * M], pair[:, 2 * M :]):
+        rt = half.astype(ml_dtypes.bfloat16).astype(half.dtype)
+        np.testing.assert_array_equal(rt, half)
