@@ -170,7 +170,8 @@ def cmd_wideband(args):
     from ..stream.pcap import PcapWriter
     from ..wideband import WidebandConfig, WidebandSniffer
 
-    cfg = WidebandConfig(follow_connections=args.follow, fused=args.fused)
+    cfg = WidebandConfig(follow_connections=args.follow, fused=args.fused,
+                         fused_dtype=args.fused_dtype)
     if args.selftest:
         # known-answer test ON THIS BACKEND, of EXACTLY the pipeline and
         # kernel configuration the scan below will deploy, before
@@ -403,6 +404,12 @@ def build_parser():
                    help="follow CONNECT_REQs onto the data channels")
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas front end (TPU hardware)")
+    p.add_argument("--fused-dtype", default="f32",
+                   choices=["f32", "bf16x2w", "bf16"],
+                   help="fused front-end dynamic-range/throughput mode "
+                        "(PERF.md ladder): f32 = exact filterbank (parity "
+                        "default), bf16x2w = ~-96 dB weight pair at full "
+                        "MXU rate, bf16 = 8-bit-ADC-class stopband")
     p.add_argument("--selftest", action="store_true",
                    help="run the known-answer self-test on the attached "
                         "backend before scanning (one extra compile)")

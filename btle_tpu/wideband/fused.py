@@ -369,16 +369,18 @@ def _demod_tail(y_i, y_q, w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
 
 def _kernel_poly(f_hbm, kc_ref, w_ref, w4_ref, ts_ref, nmask_ref, bits_ref,
                  hit_ref, mag_ref, fbuf, ue_ref, uo_ref, sem, *, tile: int,
-                 width: int, sps: int, lag: int, dev_skip: str = ""):
+                 width: int, sps: int, lag: int, roll_shifts: bool = False,
+                 dev_skip: str = ""):
     """True-polyphase inner: per-branch taps as VPU shifted FMAs over the
     permuted frame rows (f_perm = f_t[perm], see _poly_tables), then ONE
     (80, 80) DFT matmul. All arithmetic is f32 — the MXU only ever sees
     the tiny DFT contraction, so no precision ladder applies."""
     T = tile
     ycols = _ycols(T, sps, lag)
+    fcols = _fcols(T, width, sps, lag)
     i = pl.program_id(0)
     cp = pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(i * T, _fcols(T, width, sps, lag))], fbuf, sem)
+        f_hbm.at[:, pl.ds(i * T, fcols)], fbuf, sem)
     cp.start()
     cp.wait()
 
@@ -400,8 +402,40 @@ def _kernel_poly(f_hbm, kc_ref, w_ref, w4_ref, ts_ref, nmask_ref, bits_ref,
             out_ref[:] = acc if first else out_ref[:] + acc
             first = False
 
-    accumulate(ue_ref, slice(None, half), list(range(0, width, 2)))
-    accumulate(uo_ref, slice(half, None), list(range(1, width, 2)))
+    def accumulate_roll(out_ref, rows, shifts):
+        # Each unaligned lane slice above lowers to one Mosaic roll
+        # (~0.35 us per (40, ycols) regardless of width) — the measured
+        # bound of the whole poly inner. One strided roll over a
+        # broadcast manufactures _POLY_GROUP shifted copies per op
+        # instead (the _demod_tail AA trick): row r of the rolled
+        # (G, 40, fcols) value holds f[rows] left-shifted by
+        # s0 + step*(G-1-r); the weighted reduce per row is the same
+        # VPU mul/add chain. ~9 rolls replace ~65. f32 only —
+        # pltpu.roll is unimplemented for packed bf16 (and fcols is
+        # 128-lane aligned by construction, as the roll requires).
+        step = shifts[1] - shifts[0] if len(shifts) > 1 else 1
+        first = True
+        for g0 in range(0, len(shifts), _POLY_GROUP):
+            grp = shifts[g0 : g0 + _POLY_GROUP]
+            n = len(grp)
+            if n == 1:
+                acc = f[rows, grp[0] : grp[0] + ycols] \
+                    * kc_ref[rows, grp[0] : grp[0] + 1]
+            else:
+                xb = jnp.broadcast_to(f[rows][None], (n, half, fcols))
+                x = pltpu.roll(xb, fcols - (grp[0] + step * (n - 1)), 2,
+                               stride=step, stride_axis=0)
+                acc = None
+                for r in reversed(range(n)):     # ascending shift order:
+                    s = grp[0] + step * (n - 1 - r)   # same f32 rounding
+                    t = x[r, :, :ycols] * kc_ref[rows, s : s + 1]
+                    acc = t if acc is None else acc + t
+            out_ref[:] = acc if first else out_ref[:] + acc
+            first = False
+
+    acc_fn = accumulate_roll if roll_shifts else accumulate
+    acc_fn(ue_ref, slice(None, half), list(range(0, width, 2)))
+    acc_fn(uo_ref, slice(half, None), list(range(1, width, 2)))
 
     # DFT as two half-contractions (Mosaic cannot concatenate the two
     # accumulators: their lazy lane offsets differ by the shift parity)
@@ -499,18 +533,22 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     # frames operand / output plumbing / lattice trim are shared below
     fcols = _fcols(T, width, sps, lag)
     vm = pltpu.VMEM
-    if inner == "poly":
+    if inner in ("poly", "polyroll"):
         # "f32": everything exact. "bf16": operands only — the taps
         # stay EXACT f32 (the VPU never quantizes weights), so unlike
         # im2col-bf16 the filter response is exact; operand rounding is
         # noise-like (and exact for int8 SDR wire formats). bf16x2w has
-        # no meaning here: there is no weight pair to split.
+        # no meaning here: there is no weight pair to split. "polyroll"
+        # manufactures the branch-conv shifts with strided rolls
+        # (f32-only: pltpu.roll is unimplemented for packed bf16).
         assert compute_dtype in ("f32", "bf16"), \
             "poly inner: f32 or bf16 (operand-only) — weights are exact"
+        assert not (inner == "polyroll" and compute_dtype != "f32"), \
+            "polyroll inner is f32-only (no packed-bf16 rolls)"
         perm, kcoef, wdft = _poly_tables(num_taps)
         frames = f_t[jnp.asarray(perm)]                       # (80, j_pad)
         kern = partial(_kernel_poly, tile=T, width=width, sps=sps, lag=lag,
-                       dev_skip=dev_skip)
+                       roll_shifts=inner == "polyroll", dev_skip=dev_skip)
         weights = (jnp.asarray(kcoef), jnp.asarray(wdft))
         w_specs = [
             pl.BlockSpec((2 * M, kcoef.shape[1]), lambda i: (0, 0),

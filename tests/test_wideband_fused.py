@@ -352,3 +352,23 @@ def test_hilo_weight_pair_is_exact_and_stacked():
     for half in (pair[:, : 2 * M], pair[:, 2 * M :]):
         rt = half.astype(ml_dtypes.bfloat16).astype(half.dtype)
         np.testing.assert_array_equal(rt, half)
+
+
+def test_polyroll_inner_matches_poly(rng):
+    """The strided-roll shift manufacture (inner="polyroll") must produce
+    the SAME lattices as the slice-copy poly inner: identical shifts,
+    identical ascending-shift f32 accumulation order — any difference
+    means the roll geometry (base amount / stride / row order) regressed."""
+    wi = rng.normal(0, 20, 90000).astype(np.float32)
+    wq = rng.normal(0, 20, 90000).astype(np.float32)
+    aa = jnp.broadcast_to(jnp.asarray(B.hex_to_bits("d6be898e")), (40, 32))
+    mask = jnp.asarray(np.ones(32, np.int8))
+    with pltpu.force_tpu_interpret_mode():
+        ref = fused_frontend(jnp.asarray(wi), jnp.asarray(wq), aa, mask,
+                             tile=512, inner="poly", interpret=True)
+        got = fused_frontend(jnp.asarray(wi), jnp.asarray(wq), aa, mask,
+                             tile=512, inner="polyroll", interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(got[2]),
+                               rtol=1e-5)

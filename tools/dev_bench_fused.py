@@ -356,6 +356,21 @@ if which == "r3b":
         allms = ", ".join(f"{1000.0/r:.2f}" for r in rates)
         print(f"batch{nblk}: ms/block [{allms}] median {1000.0/med:.2f} ms -> {msps:.0f} Msps ({msps/800:.2f}x)", flush=True)
 
+if which == "r3c":
+    # round-3c: strided-roll shift manufacture for the exact-f32 poly
+    # inner (9 rolls replace 65 unaligned slices)
+    for inner, tile in (("polyroll", 1024), ("polyroll", 512), ("poly", 2048)):
+        @jax.jit
+        def stepp(i, q, _in=inner, _t=tile):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                      tile=_t, inner=_in, compute_dtype="f32")
+            return checksum(out)
+        try:
+            measure(stepp, f"{inner}-f32-full16-t{tile}", iters=192, trials=3)
+        except Exception as e:
+            print(f"{inner}-f32-full16-t{tile}: FAILED {type(e).__name__}", flush=True)
+
 if which == "tune3":
     for tile in (1024, 2048, 3072, 4096):
         @jax.jit
