@@ -455,7 +455,7 @@ def _kernel_poly(f_hbm, kc_ref, w_ref, w4_ref, ts_ref, nmask_ref, bits_ref,
 def _default_inner(compute_dtype: str) -> str:
     """Measured-fastest inner per mode: the bf16 modes keep the im2col
     MXU form (the hi/lo weight pair needs matmuls); exact f32 is fastest
-    as the true-polyphase VPU form (696 vs 519 Msps on v5e — the folded
+    as the true-polyphase VPU form (771 vs 519 Msps on v5e — the folded
     dense conv's 18x FLOP inflation outweighs the MXU's speed there)."""
     return "im2col" if compute_dtype in ("bf16", "bf16x2w") else "poly"
 
@@ -464,11 +464,18 @@ def _default_tile(compute_dtype: str, inner: str) -> int:
     """Largest measured-fastest time tile that fits scoped VMEM (16 MB)
     per mode: bf16 operand storage halves the frame scratch, so the bf16
     modes take a 2048-frame tile (1003 vs 911 Msps at 1024 on v5e; 4096
-    regresses); the poly inner's grouped register chains also fit 2048
-    at f32; only f32 im2col must stay at 1024 (its 520-row f32 im2col
-    scratch plus the unrolled value chains exceed the scoped limit)."""
+    regresses); the poly inner's grouped register chains fit a 3072 tile
+    at f32 (771 vs 756 Msps at 2048; 4096 exceeds the scoped limit);
+    polyroll only fits 1024 (its rolled broadcasts stay live — a wash vs
+    poly at 2048, kept as a measured negative); f32 im2col must stay at
+    1024 (its 520-row f32 im2col scratch plus the unrolled value chains
+    exceed the scoped limit)."""
     if compute_dtype == "f32" and inner == "im2col":
         return 1024
+    if inner == "polyroll":
+        return 1024
+    if inner == "poly":
+        return 3072
     return 2048
 
 

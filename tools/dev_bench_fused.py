@@ -359,7 +359,7 @@ if which == "r3b":
 if which == "r3c":
     # round-3c: strided-roll shift manufacture for the exact-f32 poly
     # inner (9 rolls replace 65 unaligned slices)
-    for inner, tile in (("polyroll", 1024), ("polyroll", 512), ("poly", 2048)):
+    for inner, tile in (("poly", 3072), ("poly", 4096)):
         @jax.jit
         def stepp(i, q, _in=inner, _t=tile):
             out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
