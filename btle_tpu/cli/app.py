@@ -170,7 +170,8 @@ def cmd_wideband(args):
     from ..stream.pcap import PcapWriter
     from ..wideband import WidebandConfig, WidebandSniffer
 
-    cfg = WidebandConfig(follow_connections=args.follow, fused=args.fused,
+    cfg = WidebandConfig(follow_connections=args.follow or args.max_follow > 1,
+                         max_follow=args.max_follow, fused=args.fused,
                          fused_dtype=args.fused_dtype)
     if args.selftest:
         # known-answer test ON THIS BACKEND, of EXACTLY the pipeline and
@@ -402,6 +403,10 @@ def build_parser():
     p.add_argument("--pcap", default=None)
     p.add_argument("--follow", action="store_true",
                    help="follow CONNECT_REQs onto the data channels")
+    p.add_argument("--max-follow", type=int, default=1, metavar="N",
+                   help="follow up to N connections concurrently, each "
+                        "owning the data channel its hop sequence occupies "
+                        "(per-channel AA/CRC re-keying; implies --follow)")
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas front end (TPU hardware)")
     p.add_argument("--fused-dtype", default="f32",

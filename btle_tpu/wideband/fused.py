@@ -391,12 +391,17 @@ def _kernel_poly(f_hbm, kc_ref, w_ref, w4_ref, ts_ref, nmask_ref, bits_ref,
     # of _POLY_GROUP shifts chain in registers, then one store.
     half = 2 * D                                   # 40 rows per parity group
     f = fbuf[:]
+    # dev-only A/B knob: "pgN" in dev_skip overrides the register-chain
+    # group size (e.g. dev_skip="pg12")
+    group = _POLY_GROUP
+    if "pg" in dev_skip:
+        group = int(dev_skip.split("pg")[1].split(",")[0])
 
     def accumulate(out_ref, rows, shifts):
         first = True
-        for g0 in range(0, len(shifts), _POLY_GROUP):
+        for g0 in range(0, len(shifts), group):
             acc = None
-            for s in shifts[g0 : g0 + _POLY_GROUP]:
+            for s in shifts[g0 : g0 + group]:
                 t = f[rows, s : s + ycols] * kc_ref[rows, s : s + 1]
                 acc = t if acc is None else acc + t
             out_ref[:] = acc if first else out_ref[:] + acc

@@ -123,6 +123,15 @@ class WidebandConfig:
     access_address_hex: str = ADV_ACCESS_ADDRESS_HEX
     crc_init_hex: str = "555555"
     follow_connections: bool = False  # sniff CONNECT_REQ -> listen on data channels
+    # >1: follow up to N connections CONCURRENTLY, each owning the data
+    # channel its hop sequence currently occupies (per-channel AA/CRC
+    # re-keying; ll.multifollow — beyond the single-radio reference).
+    # 1 keeps the reference-parity semantics: the first tracked
+    # connection keys EVERY data channel.
+    max_follow: int = 1
+    # multi-follow only: unregister a connection after K intervals
+    # without a CRC-OK packet (None = never, like the reference)
+    drop_after_intervals: int | None = None
     max_candidates: int = 16
     scan_len_ch: int = 8192          # per-channel territory (samples @4 Msps)
     num_taps: int = DEFAULT_TAPS  # prototype length (channelizer.DEFAULT_TAPS)
@@ -210,8 +219,18 @@ class WidebandSniffer:
         # 37 data channels at once — tracking a connection only means
         # swapping the AA/CRC-init rows; no retuning, no missed dwells.
         from ..ll.hop import HopTracker
+        from ..ll.multifollow import MultiConnectionFollower
 
-        self.hop_tracker = HopTracker() if self.cfg.follow_connections else None
+        self.hop_tracker = None
+        self.multi_follower = None
+        if self.cfg.follow_connections:
+            if self.cfg.max_follow > 1:
+                self.multi_follower = MultiConnectionFollower(
+                    np.asarray(self.aa_rows), np.asarray(self.crc_inits),
+                    max_connections=self.cfg.max_follow,
+                    drop_after_intervals=self.cfg.drop_after_intervals)
+            else:
+                self.hop_tracker = HopTracker()
         self.connection = None
 
     @property
@@ -303,6 +322,11 @@ class WidebandSniffer:
         self._offset_ch += scan_limit
         if self.hop_tracker is not None:
             self.hop_tracker.on_tick(self._offset_ch // CH_SPS)
+        if self.multi_follower is not None:
+            # connections hop on their interval clocks — re-key each
+            # connection's newly-occupied channel for the next block
+            if self.multi_follower.on_tick(self._offset_ch // CH_SPS):
+                self._apply_follow_tables()
         return packets
 
     def _consume_channel(self, m: int, row: dict, scan_limit: int,
@@ -338,9 +362,13 @@ class WidebandSniffer:
 
     def _maybe_follow(self, pkt: WidebandPacket, adv: bool):
         """CONNECT_REQ handling + hop bookkeeping (follow_connections)."""
+        now_us = pkt.sample_pos // CH_SPS
+        if self.multi_follower is not None:
+            if self.multi_follower.on_packet(pkt, adv, now_us):
+                self._apply_follow_tables()
+            return
         if self.hop_tracker is None:
             return
-        now_us = pkt.sample_pos // CH_SPS
         if adv:
             res = try_track_connection(self.hop_tracker, pkt, now_us,
                                        self.aa_rows, self.crc_inits)
@@ -348,6 +376,11 @@ class WidebandSniffer:
                 self.connection, self.aa_rows, self.crc_inits = res
         elif pkt.crc_ok:
             self.hop_tracker.on_crc_ok_packet(now_us)
+
+    def _apply_follow_tables(self):
+        aa_rows, crc = self.multi_follower.tables()
+        self.aa_rows = jnp.asarray(aa_rows)
+        self.crc_inits = jnp.asarray(crc)
 
     def _attach_parse(self, pkt: WidebandPacket, adv: bool):
         try:

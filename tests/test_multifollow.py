@@ -1,0 +1,201 @@
+"""Multi-connection wideband following (ll.multifollow): N concurrent
+connections, each owning the data channel its hop sequence currently
+occupies — a capability beyond the reference's single-radio controller
+(btle_rx.c:2403-2536 follows exactly one connection)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from btle_tpu.golden import model as G
+from btle_tpu.ll.multifollow import MultiConnectionFollower
+from btle_tpu.spec import bits as B
+from btle_tpu.wideband import (WidebandConfig, WidebandSniffer,
+                               channel_to_bin, synthesize_wideband)
+from btle_tpu.wideband.sniffer import default_scan_tables
+
+AA_1 = 0x60850A1B
+AA_2 = 0x50A1B2C4
+CRC_1 = "a77b22"
+CRC_2 = "55aa11"
+
+
+def connect_req_pdu_bytes(aa: int, crc_hex: str, hop: int, interval: int):
+    payload = (
+        bytes.fromhex("001830EA965F")[::-1]           # InitA
+        + bytes.fromhex("90D7EBB19299")[::-1]         # AdvA
+        + aa.to_bytes(4, "little")
+        + bytes.fromhex(crc_hex)
+        + bytes([0x02])
+        + (0x000F).to_bytes(2, "little")
+        + interval.to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+        + (0x07D0).to_bytes(2, "little")
+        + bytes.fromhex("1FFFFFFFFF")[::-1]
+        + bytes([hop | (5 << 5)])
+    )
+    return np.frombuffer(bytes([0x05, len(payload)]) + payload, np.uint8)
+
+
+class FakePkt:
+    def __init__(self, channel, pdu_bytes, crc_ok=True):
+        self.channel = channel
+        self.pdu_bytes = np.asarray(pdu_bytes, np.uint8)
+        self.crc_ok = crc_ok
+
+
+def _base_tables():
+    _, _, _, crc_inits, _ = default_scan_tables()
+    aa_rows = np.broadcast_to(
+        B.hex_to_bits("d6be898e"), (40, 32)).copy().astype(np.int8)
+    return aa_rows, np.asarray(crc_inits)
+
+
+class TestFollowerClock:
+    def test_two_connections_own_their_channels(self):
+        aa_rows, crc_inits = _base_tables()
+        f = MultiConnectionFollower(aa_rows, crc_inits, max_connections=4)
+        assert f.on_packet(FakePkt(37, connect_req_pdu_bytes(AA_1, CRC_1, 9, 16)),
+                           adv=True, now_us=0)
+        assert f.on_packet(FakePkt(38, connect_req_pdu_bytes(AA_2, CRC_2, 7, 16)),
+                           adv=True, now_us=100)
+        rows, crc = f.tables()
+        bits1 = B.hex_to_bits(AA_1.to_bytes(4, "little").hex())
+        bits2 = B.hex_to_bits(AA_2.to_bytes(4, "little").hex())
+        np.testing.assert_array_equal(rows[channel_to_bin(9)], bits1)
+        np.testing.assert_array_equal(rows[channel_to_bin(7)], bits2)
+        # unclaimed channels keep the ADV AA (new CONNECT_REQs stay visible)
+        np.testing.assert_array_equal(rows[channel_to_bin(10)],
+                                      aa_rows[channel_to_bin(10)])
+        from btle_tpu.spec.crc24 import crc_init_reorder
+        assert crc[channel_to_bin(9)] == crc_init_reorder(
+            int.from_bytes(bytes.fromhex(CRC_1), "big"))
+
+    def test_hop_movement_rekeys_between_ticks(self):
+        """After a CRC-OK packet syncs a connection, the interval clock
+        moves it along its own hop sequence; each connection re-keys its
+        new channel independently."""
+        aa_rows, crc_inits = _base_tables()
+        f = MultiConnectionFollower(aa_rows, crc_inits)
+        f.on_packet(FakePkt(37, connect_req_pdu_bytes(AA_1, CRC_1, 9, 16)),
+                    adv=True, now_us=0)
+        f.on_packet(FakePkt(38, connect_req_pdu_bytes(AA_2, CRC_2, 7, 8)),
+                    adv=True, now_us=0)
+        # sync both: data packets on their first channels
+        f.on_packet(FakePkt(9, np.zeros(5, np.uint8)), adv=False, now_us=1000)
+        f.on_packet(FakePkt(7, np.zeros(5, np.uint8)), adv=False, now_us=1000)
+        # interval 8 * 1250 - 7000 = 3000 us; interval 16 -> 13000 us
+        changed = f.on_tick(5000)
+        assert changed                    # AA_2 hopped 7 -> 14; AA_1 not yet
+        assert f.connections[AA_2].tracker.channel == 14
+        assert f.connections[AA_1].tracker.channel == 9
+        changed = f.on_tick(15000)
+        assert changed                    # AA_1 hops 9 -> 18
+        assert f.connections[AA_1].tracker.channel == 18
+        rows, _ = f.tables()
+        bits1 = B.hex_to_bits(AA_1.to_bytes(4, "little").hex())
+        np.testing.assert_array_equal(rows[channel_to_bin(18)], bits1)
+        # the vacated channel reverts to the ADV AA
+        np.testing.assert_array_equal(rows[channel_to_bin(9)],
+                                      aa_rows[channel_to_bin(9)])
+
+    def test_capacity_and_duplicate_rejection(self):
+        aa_rows, crc_inits = _base_tables()
+        f = MultiConnectionFollower(aa_rows, crc_inits, max_connections=1)
+        assert f.on_packet(FakePkt(37, connect_req_pdu_bytes(AA_1, CRC_1, 9, 16)),
+                           adv=True, now_us=0)
+        # duplicate AA: ignored silently
+        assert not f.on_packet(
+            FakePkt(37, connect_req_pdu_bytes(AA_1, CRC_1, 9, 16)),
+            adv=True, now_us=10)
+        # capacity full: rejected with an event
+        assert not f.on_packet(
+            FakePkt(38, connect_req_pdu_bytes(AA_2, CRC_2, 7, 16)),
+            adv=True, now_us=20)
+        assert f.events[-1].event == "track_reject"
+        assert f.events[-1].access_addr == AA_2
+
+    def test_stale_connection_drops_and_frees_slot(self):
+        aa_rows, crc_inits = _base_tables()
+        f = MultiConnectionFollower(aa_rows, crc_inits, max_connections=1,
+                                    drop_after_intervals=3)
+        f.on_packet(FakePkt(37, connect_req_pdu_bytes(AA_1, CRC_1, 9, 16)),
+                    adv=True, now_us=0)
+        assert not f.on_tick(30000)       # < 3 * 20000 us: still tracked
+        assert f.on_tick(70000)           # > 60000 us silent: dropped
+        assert not f.connections
+        assert f.events[-1].event == "track_drop"
+        rows, crc = f.tables()
+        np.testing.assert_array_equal(rows, aa_rows)
+        np.testing.assert_array_equal(crc, crc_inits)
+        # the freed slot accepts a new connection
+        assert f.on_packet(FakePkt(38, connect_req_pdu_bytes(AA_2, CRC_2, 7, 16)),
+                           adv=True, now_us=80000)
+
+    def test_channel_collision_first_registered_wins(self):
+        """Two connections landing on the same channel: the earlier one
+        owns the AA row for that block; the other re-syncs later (the
+        reference's own missed-dwell recovery, btle_rx.c:2497-2527)."""
+        aa_rows, crc_inits = _base_tables()
+        f = MultiConnectionFollower(aa_rows, crc_inits)
+        f.on_packet(FakePkt(37, connect_req_pdu_bytes(AA_1, CRC_1, 9, 16)),
+                    adv=True, now_us=0)
+        f.on_packet(FakePkt(38, connect_req_pdu_bytes(AA_2, CRC_2, 9, 16)),
+                    adv=True, now_us=10)   # same hop: both start on ch 9
+        rows, _ = f.tables()
+        bits1 = B.hex_to_bits(AA_1.to_bytes(4, "little").hex())
+        np.testing.assert_array_equal(rows[channel_to_bin(9)], bits1)
+        assert len(f.connections) == 2     # both tracked, one dwell missed
+
+
+class TestWidebandMultiFollow:
+    def test_two_connections_decode_concurrently(self, rng):
+        """E2E: two CONNECT_REQs in block 1 (ch37 + ch38), then one data
+        packet per connection in block 2 on each connection's first hop
+        channel — both must decode with their own AA/CRC keys."""
+        def data80(pdu, ch, crc_hex, aa):
+            phy = G.assemble_phy_bits(
+                pdu, ch, crc_init_hex=crc_hex,
+                access_address_hex=aa.to_bytes(4, "little").hex())
+            return G.gfsk_modulate_float(phy, 80)
+
+        def data_pdu(n):
+            payload = rng.integers(0, 256, n, dtype=np.uint8)
+            return B.bytes_to_bits(
+                np.concatenate([[0x01, n], payload]).astype(np.uint8))
+
+        cr1 = B.bytes_to_bits(connect_req_pdu_bytes(AA_1, CRC_1, 9, 16))
+        cr2 = B.bytes_to_bits(connect_req_pdu_bytes(AA_2, CRC_2, 7, 16))
+        d1, d2 = data_pdu(10), data_pdu(14)
+
+        block_wb = 8192 * 20
+        n = 2 * block_wb + 60000
+        wi = np.zeros(n, np.float32)
+        wq = np.zeros(n, np.float32)
+        for ch, sig, pos in (
+            (37, G.gfsk_modulate_float(G.assemble_phy_bits(cr1, 37), 80), 30000),
+            (38, G.gfsk_modulate_float(G.assemble_phy_bits(cr2, 38), 80), 70000),
+            (9, data80(d1, 9, CRC_1, AA_1), block_wb + 40000),
+            (7, data80(d2, 7, CRC_2, AA_2), block_wb + 90000),
+        ):
+            si, sq = synthesize_wideband({ch: sig}, n, {ch: pos})
+            wi += si
+            wq += sq
+
+        sn = WidebandSniffer(WidebandConfig(follow_connections=True,
+                                            max_follow=4))
+        pkts = [p for p in sn.run(wi, wq) if p.crc_ok]
+        by_ch = {p.channel: p for p in pkts}
+        assert {37, 38, 9, 7} <= set(by_ch)
+        np.testing.assert_array_equal(by_ch[9].pdu_bytes, B.bits_to_bytes(d1))
+        np.testing.assert_array_equal(by_ch[7].pdu_bytes, B.bits_to_bytes(d2))
+        assert set(sn.multi_follower.connections) == {AA_1, AA_2}
+        # per-channel keys: each connection owns exactly its own channel
+        rows = np.asarray(sn.aa_rows)
+        np.testing.assert_array_equal(
+            rows[channel_to_bin(9)],
+            B.hex_to_bits(AA_1.to_bytes(4, "little").hex()))
+        np.testing.assert_array_equal(
+            rows[channel_to_bin(7)],
+            B.hex_to_bits(AA_2.to_bytes(4, "little").hex()))

@@ -371,6 +371,21 @@ if which == "r3c":
         except Exception as e:
             print(f"{inner}-f32-full16-t{tile}: FAILED {type(e).__name__}", flush=True)
 
+if which == "r3d":
+    # round-3d: poly register-chain group-size sweep (frontend only)
+    def fe_of(**kw):
+        @jax.jit
+        def fe(i, q):
+            return checksum(fused_frontend(i, q, jnp.broadcast_to(aa_bits,(40,32)), aa_mask,
+                                           num_taps=DEFAULT_TAPS, sps=4, lag=LAG,
+                                           inner="poly", tile=3072, **kw))
+        return fe
+    for pg in (8, 12, 16):
+        try:
+            measure(fe_of(dev_skip=f"pg{pg}"), f"poly-fe-t3072-pg{pg}", iters=192, trials=3)
+        except Exception as e:
+            print(f"poly-fe-t3072-pg{pg}: FAILED {type(e).__name__}", flush=True)
+
 if which == "tune3":
     for tile in (1024, 2048, 3072, 4096):
         @jax.jit
