@@ -134,6 +134,8 @@ class ShardedWidebandScan:
         # re-keys the data-channel AA/CRC rows for subsequent steps
         self.follow_connections = False
         self.hop_tracker = None
+        self.multi_follower = None
+        self._follow_dirty = False
         self.connection = None
         self._stream_offset_ch = 0  # per-channel samples consumed so far
         # (time, channel) cells whose AA hits exceeded the candidate
@@ -292,11 +294,28 @@ class ShardedWidebandScan:
                         self.crc_inits, self.adv_flags)
 
     # ------------------------------------------------------------------
-    def enable_connection_following(self):
-        from ..ll.hop import HopTracker
-
+    def enable_connection_following(self, max_follow: int = 1,
+                                    drop_after_intervals: int | None = None):
+        """max_follow=1: reference-parity semantics (the first tracked
+        connection keys EVERY data channel). max_follow>1: concurrent
+        multi-connection following (ll.multifollow) — each connection
+        owns the channel its hop sequence occupies. NOTE: the sharded
+        scan evaluates n_time blocks in ONE device program, so re-keys
+        take effect at the NEXT __call__ (super-block granularity); a
+        connection that hops mid-super-block misses at most that dwell
+        and re-syncs through its tracker's skip state."""
         self.follow_connections = True
-        self.hop_tracker = HopTracker()
+        if max_follow > 1:
+            from ..ll.multifollow import MultiConnectionFollower
+
+            self.multi_follower = MultiConnectionFollower(
+                np.asarray(self.aa_rows), np.asarray(self.crc_inits),
+                max_connections=max_follow,
+                drop_after_intervals=drop_after_intervals)
+        else:
+            from ..ll.hop import HopTracker
+
+            self.hop_tracker = HopTracker()
 
     def _maybe_follow(self, pkt):
         """CONNECT_REQ -> re-key all data channels (wideband hears every
@@ -307,6 +326,11 @@ class ShardedWidebandScan:
             return
         # stream-absolute sample clock across successive __call__s
         now_us = (self._stream_offset_ch + pkt.sample_pos) // CH_SPS
+        if self.multi_follower is not None:
+            adv = pkt.channel in (37, 38, 39)
+            self._follow_dirty |= self.multi_follower.on_packet(
+                pkt, adv, now_us)
+            return
         res = try_track_connection(self.hop_tracker, pkt, now_us,
                                    self.aa_rows, self.crc_inits)
         if res is not None:
@@ -358,4 +382,12 @@ class ShardedWidebandScan:
                     packets.append(pkt)
                     cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * CH_SPS
         self._stream_offset_ch += pos.shape[0] * k_per_block
+        if self.multi_follower is not None:
+            changed = self.multi_follower.on_tick(
+                self._stream_offset_ch // CH_SPS)
+            if changed or self._follow_dirty:
+                aa, crc = self.multi_follower.tables()
+                self.aa_rows = jnp.asarray(aa)
+                self.crc_inits = jnp.asarray(crc)
+                self._follow_dirty = False
         return packets

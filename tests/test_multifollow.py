@@ -199,3 +199,54 @@ class TestWidebandMultiFollow:
         np.testing.assert_array_equal(
             rows[channel_to_bin(7)],
             B.hex_to_bits(AA_2.to_bytes(4, "little").hex()))
+
+
+class TestShardedMultiFollow:
+    def test_two_connections_across_steps(self, rng):
+        """Sharded path: CONNECT_REQs in step 1 re-key each connection's
+        own first hop channel for step 2 (super-block granularity)."""
+        from btle_tpu.dist import ShardedWidebandScan, make_mesh
+
+        mesh = make_mesh(1, 4)
+        block_wb = 80000
+        scan = ShardedWidebandScan(mesh, block_wb=block_wb)
+        scan.enable_connection_following(max_follow=4)
+
+        n = 4 * block_wb
+        cr1 = B.bytes_to_bits(connect_req_pdu_bytes(AA_1, CRC_1, 9, 64))
+        cr2 = B.bytes_to_bits(connect_req_pdu_bytes(AA_2, CRC_2, 7, 64))
+        wi = np.zeros(n, np.float32)
+        wq = np.zeros(n, np.float32)
+        for ch, bits, pos in ((37, cr1, 30000), (38, cr2, 90000)):
+            si, sq = synthesize_wideband(
+                {ch: G.gfsk_modulate_float(G.assemble_phy_bits(bits, ch), 80)},
+                n, {ch: pos})
+            wi += si
+            wq += sq
+        pkts1 = scan.gather_packets(scan(wi, wq))
+        assert sum(p.crc_ok for p in pkts1) == 2
+        assert set(scan.multi_follower.connections) == {AA_1, AA_2}
+
+        def data_pdu(k):
+            payload = rng.integers(0, 256, k, dtype=np.uint8)
+            return B.bytes_to_bits(
+                np.concatenate([[0x01, k], payload]).astype(np.uint8))
+
+        d1, d2 = data_pdu(9), data_pdu(13)
+        wi2 = np.zeros(n, np.float32)
+        wq2 = np.zeros(n, np.float32)
+        for ch, pdu, crc_hex, aa, pos in (
+            (9, d1, CRC_1, AA_1, 60000),      # AA_1's first hop channel
+            (7, d2, CRC_2, AA_2, 140000),     # AA_2's first hop channel
+        ):
+            phy = G.assemble_phy_bits(pdu, ch, crc_init_hex=crc_hex,
+                                      access_address_hex=aa.to_bytes(4, "little").hex())
+            si, sq = synthesize_wideband({ch: G.gfsk_modulate_float(phy, 80)},
+                                         n, {ch: pos})
+            wi2 += si
+            wq2 += sq
+        pkts2 = [p for p in scan.gather_packets(scan(wi2, wq2)) if p.crc_ok]
+        by_ch = {p.channel: p for p in pkts2}
+        assert set(by_ch) == {9, 7}
+        np.testing.assert_array_equal(by_ch[9].pdu_bytes, B.bits_to_bytes(d1))
+        np.testing.assert_array_equal(by_ch[7].pdu_bytes, B.bits_to_bytes(d2))
