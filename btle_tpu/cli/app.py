@@ -202,17 +202,22 @@ def cmd_wideband(args):
                 f"plen{p.payload_len} " + bytes(p.pdu_bytes).hex())
         print(line)
         if pcap and p.crc_ok:
-            # data-channel packets of a followed connection carry the
-            # sniffed access address in the pcap PHDR, not the adv AA
-            aa = (sn.connection.access_addr
-                  if p.channel < 37 and sn.connection is not None
-                  else 0x8E89BED6)
-            pcap.write_packet(bytes(p.pdu_bytes), p.channel, aa)
+            # the PHDR carries the AA that actually keyed the channel at
+            # decode time (under --max-follow different data channels
+            # carry different connections' AAs)
+            pcap.write_packet(bytes(p.pdu_bytes), p.channel, p.access_addr)
     if pcap:
         pcap.close()
     ok = sum(1 for p in pkts if p.crc_ok)
     print(f"# {len(pkts)} packets ({ok} CRC OK) across "
           f"{len({p.channel for p in pkts})} channels", file=sys.stderr)
+    follow_events = (sn.multi_follower.events if sn.multi_follower is not None
+                     else sn.hop_tracker.events if sn.hop_tracker is not None
+                     else [])
+    for ev in follow_events:
+        print(f"# {ev.event} aa=0x{ev.access_addr:08x} ch={ev.channel} "
+              f"interval={ev.interval_us}us hop={ev.hop} t={ev.time_us}us",
+              file=sys.stderr)
     if args.follow and sn.connection is not None:
         c = sn.connection
         print(f"# followed connection AA {c.access_addr:08x} "

@@ -353,6 +353,13 @@ class ShardedWidebandScan:
 
         num_hits = np.asarray(out["num_hits"])
 
+        # the keys THIS scan used (pcap PHDR AA per channel)
+        aa_np = np.asarray(self.aa_rows)
+        if aa_np.ndim == 1:
+            aa_np = np.broadcast_to(aa_np, (M, aa_np.shape[0]))
+        chan_aa = [int.from_bytes(B.bits_to_bytes(aa_np[m]).tobytes(),
+                                  "little") for m in range(M)]
+
         packets = []
         cursors = np.zeros(M, dtype=np.int64)
         for t in range(pos.shape[0]):
@@ -377,6 +384,7 @@ class ShardedWidebandScan:
                     pkt = WidebandPacket(
                         ch, abs_p, pl, bool(crc_ok[t, m, k]),
                         pdu[t, m, k, : 2 + pl].astype(np.uint8), float(mag[t, m, k]),
+                        access_addr=chan_aa[m],
                     )
                     self._maybe_follow(pkt)
                     packets.append(pkt)

@@ -161,6 +161,10 @@ class WidebandPacket:
     rssi_mag: float
     header: object | None = None
     payload: object | None = None
+    # the access address whose correlator row decoded this packet (the
+    # channel's key at decode time — under multi-follow different data
+    # channels carry different connections' AAs)
+    access_addr: int = 0x8E89BED6
 
 
 def default_scan_tables():
@@ -223,6 +227,7 @@ class WidebandSniffer:
 
         self.hop_tracker = None
         self.multi_follower = None
+        self._aa_np = None          # per-block snapshot of aa_rows
         if self.cfg.follow_connections:
             if self.cfg.max_follow > 1:
                 self.multi_follower = MultiConnectionFollower(
@@ -293,6 +298,9 @@ class WidebandSniffer:
                 has_context=True,
             )
         out = {k: np.asarray(v) for k, v in out.items()}
+        # snapshot the keys THIS scan used (follow handling may re-key
+        # self.aa_rows mid-consume for the next block)
+        self._aa_np = np.asarray(self.aa_rows)
 
         packets: list[WidebandPacket] = []
         scan_limit = self.cfg.scan_len_ch
@@ -329,6 +337,14 @@ class WidebandSniffer:
                 self._apply_follow_tables()
         return packets
 
+    def _channel_aa(self, m: int) -> int:
+        """The access address currently keying channel bin m (the value
+        a pcap PHDR should carry for packets decoded there)."""
+        if self._aa_np is None:
+            self._aa_np = np.asarray(self.aa_rows)
+        return int.from_bytes(
+            B.bits_to_bytes(self._aa_np[m]).tobytes(), "little")
+
     def _consume_channel(self, m: int, row: dict, scan_limit: int,
                          packets: list[WidebandPacket]) -> bool:
         """Walk one channel's candidate slots in stream order, appending
@@ -353,6 +369,7 @@ class WidebandSniffer:
                 ch, abs_p, pl, bool(row["crc_ok"][k]),
                 row["pdu_bytes"][k, : 2 + pl].astype(np.uint8),
                 float(row["mag_mean"][k]),
+                access_addr=self._channel_aa(m),
             )
             self._attach_parse(pkt, adv)
             self._maybe_follow(pkt, adv)

@@ -250,3 +250,35 @@ class TestShardedMultiFollow:
         assert set(by_ch) == {9, 7}
         np.testing.assert_array_equal(by_ch[9].pdu_bytes, B.bits_to_bytes(d1))
         np.testing.assert_array_equal(by_ch[7].pdu_bytes, B.bits_to_bytes(d2))
+
+
+def test_packet_access_addr_records_channel_key(rng):
+    """WidebandPacket.access_addr carries the AA that keyed the channel
+    at decode time — the value a pcap PHDR must carry (ADV AA on the
+    advertising channels, the owning connection's AA on its channel)."""
+    def data80(pdu, ch, crc_hex, aa):
+        phy = G.assemble_phy_bits(
+            pdu, ch, crc_init_hex=crc_hex,
+            access_address_hex=aa.to_bytes(4, "little").hex())
+        return G.gfsk_modulate_float(phy, 80)
+
+    cr1 = B.bytes_to_bits(connect_req_pdu_bytes(AA_1, CRC_1, 9, 16))
+    payload = rng.integers(0, 256, 8, dtype=np.uint8)
+    d1 = B.bytes_to_bits(np.concatenate([[0x01, 8], payload]).astype(np.uint8))
+
+    block_wb = 8192 * 20
+    n = 2 * block_wb + 40000
+    wi = np.zeros(n, np.float32)
+    wq = np.zeros(n, np.float32)
+    for ch, sig, pos in (
+        (37, G.gfsk_modulate_float(G.assemble_phy_bits(cr1, 37), 80), 30000),
+        (9, data80(d1, 9, CRC_1, AA_1), block_wb + 50000),
+    ):
+        si, sq = synthesize_wideband({ch: sig}, n, {ch: pos})
+        wi += si
+        wq += sq
+    sn = WidebandSniffer(WidebandConfig(follow_connections=True, max_follow=4))
+    pkts = [p for p in sn.run(wi, wq) if p.crc_ok]
+    by_ch = {p.channel: p for p in pkts}
+    assert by_ch[37].access_addr == 0x8E89BED6
+    assert by_ch[9].access_addr == AA_1
