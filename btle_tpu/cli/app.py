@@ -281,6 +281,18 @@ def cmd_tx(args):
             iq[1::2] = q / 256.0
             iq.tofile(args.out)
         print(f"# wrote {args.out} ({len(i)} IQ pairs)", file=sys.stderr)
+    if args.wideband_out:
+        from ..tx.synth import plan_to_wideband
+
+        wi, wq = plan_to_wideband(specs, num_repeat=max(1, repeat),
+                                  noise_std=args.wideband_noise)
+        iq = np.empty(2 * len(wi), dtype=np.float32)
+        iq[0::2] = wi
+        iq[1::2] = wq
+        iq.tofile(args.wideband_out)
+        print(f"# wrote {args.wideband_out} ({len(wi)} IQ pairs @80 Msps, "
+              f"channels {sorted({s.channel for s in specs})}) — decode "
+              f"with: wideband --bin {args.wideband_out}", file=sys.stderr)
     if args.udp:
         from ..tx.playback import udp_transmit
 
@@ -433,6 +445,12 @@ def build_parser():
     p.add_argument("--repeat", type=int, default=None)
     p.add_argument("--dump-dir", default=None,
                    help="write reference-style per-stage trace files")
+    p.add_argument("--wideband-out", default=None, metavar="FILE",
+                   help="compose the plan into ONE 80 Msps f32 capture with "
+                        "each packet on its descriptor's channel carrier "
+                        "(the wideband sniffer's input format)")
+    p.add_argument("--wideband-noise", type=float, default=0.0,
+                   help="AWGN std dev (int8 units) added to --wideband-out")
     p.add_argument("--udp", default=None, metavar="HOST:PORT",
                    help="play the plan as timed bursts to a UDP receiver "
                         "(wire format of the runtime's ingest)")

@@ -6,4 +6,9 @@ from .descriptor import (  # noqa: F401
     parse_descriptor_sequence,
     read_packet_file,
 )
-from .synth import SynthesizedPacket, plan_to_stream, synthesize  # noqa: F401
+from .synth import (  # noqa: F401
+    SynthesizedPacket,
+    plan_to_stream,
+    plan_to_wideband,
+    synthesize,
+)

@@ -63,3 +63,48 @@ def plan_to_stream(packets: list[SynthesizedPacket], sps: int = 4,
             segs_i.append(np.zeros(gap, np.int16))
             segs_q.append(np.zeros(gap, np.int16))
     return np.concatenate(segs_i), np.concatenate(segs_q)
+
+
+# lead-in/tail margins for composed wideband captures: the channelizer
+# halo (prototype span + demod window) must fit around every burst
+_WB_FS = 80            # wideband sample rate, Msps (channelizer.FS_MSPS)
+_WB_LEAD = 8_000       # 100 us of quiet airspace before the first burst
+_WB_TAIL = 48_000      # 600 us after the last burst (decode window + halo)
+
+
+def plan_to_wideband(specs: list[PacketSpec], num_repeat: int = 1,
+                     amplitude: float = 1.0, noise_std: float = 0.0,
+                     seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Compose a transmission plan into ONE 80 Msps wideband capture with
+    every packet on its own BLE channel carrier — the TX counterpart of the
+    wideband sniffer, and the closed loop `tx --wideband-out` -> `wideband`.
+
+    The timeline is the reference transmitter's serial air schedule
+    (tx_one_buf + Space busy-wait, btle_tx.c:4307-4331): packet k+1 starts
+    space_ms after packet k ends — but each burst is heterodyned onto its
+    descriptor's channel, so a 40-channel test scene is one file.
+
+    Modulation is the sps-parametric python-flavor fixed-point modulator at
+    80 samples/symbol (one batched device program for the whole plan);
+    amplitude scales the int8-range (+-127) bursts; noise_std adds AWGN in
+    the same units. Returns float32 (i, q).
+    """
+    if num_repeat < 0:
+        raise ValueError("infinite repeat cannot be materialized")
+    from ..wideband.channelizer import compose_wideband
+
+    pkts = synthesize(specs, flavor="python", sps=_WB_FS)
+    placements = []
+    t = _WB_LEAD
+    for _ in range(num_repeat):
+        for p in pkts:
+            placements.append((p.spec.channel, t,
+                               p.i.astype(np.float32), p.q.astype(np.float32)))
+            t += len(p.i) + int(p.space_ms * 1000 * _WB_FS)
+    n_wb = t + _WB_TAIL
+    wi, wq = compose_wideband(placements, n_wb, amplitude)
+    if noise_std > 0.0:
+        rng = np.random.default_rng(seed)
+        wi = wi + rng.normal(0.0, noise_std, n_wb).astype(np.float32)
+        wq = wq + rng.normal(0.0, noise_std, n_wb).astype(np.float32)
+    return wi, wq

@@ -255,6 +255,33 @@ def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = Fa
     return y_i * sign, y_q * sign
 
 
+def compose_wideband(placements: list[tuple[int, int, np.ndarray, np.ndarray]],
+                     num_samples: int, amplitude: float = 1.0,
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Place baseband bursts at their BLE channel carriers in one wideband
+    stream — the TX-side inverse of the channelizer, and capability the
+    single-radio reference cannot have (its board transmits one channel at
+    a time, btle_tx.c:559-707).
+
+    placements: (ble_channel, start_sample, i80, q80) per burst, all at
+    FS_MSPS; bursts may share a channel and may overlap in time (they sum,
+    like real airspace).
+    """
+    x = np.zeros(num_samples, dtype=np.complex128)
+    n = np.arange(num_samples)
+    for ch, start, ci, cq in placements:
+        seg = slice(max(0, start), min(start + len(ci), num_samples))
+        m = seg.stop - seg.start
+        if m <= 0:
+            continue
+        f_off = (2_402_000_000 + 2_000_000 * int(CHANNEL_TO_GRID[ch]) - CENTER_FREQ_HZ)
+        carrier = np.exp(1j * 2 * np.pi * (f_off / (FS_MSPS * 1e6)) * n[seg])
+        lo = seg.start - start
+        x[seg] += amplitude * (np.asarray(ci[lo:lo + m])
+                               + 1j * np.asarray(cq[lo:lo + m])) * carrier
+    return x.real.astype(np.float32), x.imag.astype(np.float32)
+
+
 def synthesize_wideband(channel_signals: dict[int, tuple[np.ndarray, np.ndarray]],
                         num_samples: int, offsets: dict[int, int] | None = None,
                         amplitude: float = 1.0) -> tuple[np.ndarray, np.ndarray]:
@@ -264,13 +291,7 @@ def synthesize_wideband(channel_signals: dict[int, tuple[np.ndarray, np.ndarray]
     channel_signals: {ble_channel: (i80, q80)} already at 80 Msps.
     offsets: optional start sample per channel.
     """
-    x = np.zeros(num_samples, dtype=np.complex128)
-    n = np.arange(num_samples)
-    for ch, (ci, cq) in channel_signals.items():
-        start = (offsets or {}).get(ch, 0)
-        seg = slice(start, min(start + len(ci), num_samples))
-        m = len(x[seg])
-        f_off = (2_402_000_000 + 2_000_000 * int(CHANNEL_TO_GRID[ch]) - CENTER_FREQ_HZ)
-        carrier = np.exp(1j * 2 * np.pi * (f_off / (FS_MSPS * 1e6)) * n[seg])
-        x[seg] += amplitude * (np.asarray(ci[:m]) + 1j * np.asarray(cq[:m])) * carrier
-    return x.real.astype(np.float32), x.imag.astype(np.float32)
+    return compose_wideband(
+        [(ch, (offsets or {}).get(ch, 0), ci, cq)
+         for ch, (ci, cq) in channel_signals.items()],
+        num_samples, amplitude)
