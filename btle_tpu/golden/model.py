@@ -101,7 +101,17 @@ def gfsk_modulate_python(bits: np.ndarray, sps: int = 8):
     taps = np.round(128 * gauss_fir(sps)).astype(np.int8)  # btlelib.py:152
     vco_gain = 128 >> 1                                    # btlelib.py:154
     cos_t, sin_t = sin_cos_tables(vco_gain, sps)
-    table_mask = np.int16(len(cos_t) - 1)
+    if len(cos_t) & (len(cos_t) - 1):
+        # btlelib.py:93 wraps the VCO phase with bitwise_and(table_size-1),
+        # which is a modulo ONLY for power-of-two tables (2048 at sps=8,
+        # 1024 at sps=4). At e.g. sps=80 the table is 20480 entries and the
+        # mask maps index 20480 to 16384 — silently corrupted phase. Use
+        # gfsk_modulate_float for arbitrary-sps synthesis.
+        raise ValueError(
+            f"fixed-point python-flavor modulator requires a power-of-two "
+            f"phase table; sps={sps} gives {len(cos_t)} entries — use "
+            f"gfsk_modulate_float for arbitrary sps")
+    table_mask = np.int64(len(cos_t) - 1)
 
     bits = np.asarray(bits, dtype=np.int8)
     nrz = (bits * 2 - 1).astype(np.int8)

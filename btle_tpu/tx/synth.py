@@ -20,18 +20,33 @@ from .descriptor import PacketSpec
 @dataclass
 class SynthesizedPacket:
     spec: PacketSpec
-    i: np.ndarray          # int8
+    i: np.ndarray          # int8 (fixed-point flavors) / float32 ("float")
     q: np.ndarray
     space_ms: int
 
 
 def synthesize(specs: list[PacketSpec], flavor: str = "c", sps: int | None = None
                ) -> list[SynthesizedPacket]:
-    """Synthesize all packets with one batched modulator invocation."""
+    """Synthesize all packets with one batched modulator invocation.
+
+    flavor "c"/"python" are the bit-exact fixed-point device modulators;
+    flavor "float" is the golden float modulator (btlelib.gfsk_modulation),
+    the only flavor valid at arbitrary sps — the fixed-point phase tables
+    exist only at power-of-two sizes (sps 4/8; see golden.model fence).
+    """
     if not specs:
         return []
     sps = sps or (4 if flavor == "c" else 8)
     phy_bits = [s.phy_bits() for s in specs]
+    if flavor == "float":
+        from ..golden.model import gfsk_modulate_float
+
+        out = []
+        for s, b in zip(specs, phy_bits):
+            fi, fq = gfsk_modulate_float(b, sps)
+            out.append(SynthesizedPacket(
+                s, fi.astype(np.float32), fq.astype(np.float32), s.space_ms))
+        return out
     max_bits = max(len(b) for b in phy_bits)
     batch = np.zeros((len(specs), max_bits), dtype=np.int8)
     for k, b in enumerate(phy_bits):
@@ -84,27 +99,60 @@ def plan_to_wideband(specs: list[PacketSpec], num_repeat: int = 1,
     space_ms after packet k ends — but each burst is heterodyned onto its
     descriptor's channel, so a 40-channel test scene is one file.
 
-    Modulation is the sps-parametric python-flavor fixed-point modulator at
-    80 samples/symbol (one batched device program for the whole plan);
+    Modulation is the float-flavor golden modulator at 80 samples/symbol —
+    the fixed-point flavors are undefined here (their power-of-two phase
+    tables don't exist at sps=80; golden.gfsk_modulate_python raises).
     amplitude scales the int8-range (+-127) bursts; noise_std adds AWGN in
     the same units. Returns float32 (i, q).
     """
     if num_repeat < 0:
         raise ValueError("infinite repeat cannot be materialized")
-    from ..wideband.channelizer import compose_wideband
-
-    pkts = synthesize(specs, flavor="python", sps=_WB_FS)
-    placements = []
+    pkts = synthesize(specs, flavor="float", sps=_WB_FS)
+    placed = []
     t = _WB_LEAD
     for _ in range(num_repeat):
         for p in pkts:
-            placements.append((p.spec.channel, t,
-                               p.i.astype(np.float32), p.q.astype(np.float32)))
+            placed.append((p.spec, t))
             t += len(p.i) + int(p.space_ms * 1000 * _WB_FS)
-    n_wb = t + _WB_TAIL
-    wi, wq = compose_wideband(placements, n_wb, amplitude)
+    return scene_to_wideband(placed, t + _WB_TAIL, amplitude=amplitude,
+                             noise_std=noise_std, seed=seed,
+                             _bursts={id(p.spec): p for p in pkts})
+
+
+def scene_to_wideband(placed_specs: list, num_samples: int,
+                      amplitude: float = 1.0, noise_std: float = 0.0,
+                      seed: int = 0, _bursts: dict | None = None
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Compose packets at EXPLICIT wideband offsets into one 80 Msps
+    capture: ``placed_specs`` is a list of (PacketSpec, offset_samples).
+
+    This is the one scene-synthesis path shared by `plan_to_wideband`
+    (serial air schedule), the deployment known-answer selftest
+    (wideband.selftest) and the dense-traffic hardware soak
+    (tools/soak_fused_tpu.py) — the hardware gates exercise EXACTLY the
+    shipped TX composition, not a private twin. Bursts may overlap
+    across channels (they sum, like real airspace).
+    """
+    from ..wideband.channelizer import compose_wideband
+
+    if _bursts is None:
+        uniq = list({id(s): s for s, _ in placed_specs}.values())
+        pkts = synthesize(uniq, flavor="float", sps=_WB_FS)
+        _bursts = {id(s): p for s, p in zip(uniq, pkts)}
+    placements = [(s.channel, off, _bursts[id(s)].i.astype(np.float32),
+                   _bursts[id(s)].q.astype(np.float32))
+                  for s, off in placed_specs]
+    wi, wq = compose_wideband(placements, num_samples, amplitude)
     if noise_std > 0.0:
         rng = np.random.default_rng(seed)
-        wi = wi + rng.normal(0.0, noise_std, n_wb).astype(np.float32)
-        wq = wq + rng.normal(0.0, noise_std, n_wb).astype(np.float32)
+        wi = wi + rng.normal(0.0, noise_std, num_samples).astype(np.float32)
+        wq = wq + rng.normal(0.0, noise_std, num_samples).astype(np.float32)
     return wi, wq
+
+
+def burst_num_samples(spec: PacketSpec) -> int:
+    """Wideband sample count of one synthesized burst (float flavor at
+    80 Msps) without synthesizing it — len(phy_bits)*sps + conv tail."""
+    from ..golden.model import gauss_fir
+
+    return len(spec.phy_bits()) * _WB_FS + len(gauss_fir(_WB_FS)) - 1

@@ -267,18 +267,22 @@ def compose_wideband(placements: list[tuple[int, int, np.ndarray, np.ndarray]],
     FS_MSPS; bursts may share a channel and may overlap in time (they sum,
     like real airspace).
     """
-    x = np.zeros(num_samples, dtype=np.complex128)
-    n = np.arange(num_samples)
+    # complex64 accumulator + per-segment carrier phase: a 1 s plan at
+    # 80 Msps is 640 MB here, not multiple GB (full-capture complex128 +
+    # int64 arange would be ~24 B/sample)
+    x = np.zeros(num_samples, dtype=np.complex64)
     for ch, start, ci, cq in placements:
         seg = slice(max(0, start), min(start + len(ci), num_samples))
         m = seg.stop - seg.start
         if m <= 0:
             continue
         f_off = (2_402_000_000 + 2_000_000 * int(CHANNEL_TO_GRID[ch]) - CENTER_FREQ_HZ)
-        carrier = np.exp(1j * 2 * np.pi * (f_off / (FS_MSPS * 1e6)) * n[seg])
+        n_seg = seg.start + np.arange(m)  # absolute index keeps carriers coherent
+        carrier = np.exp(1j * 2 * np.pi * (f_off / (FS_MSPS * 1e6)) * n_seg)
         lo = seg.start - start
-        x[seg] += amplitude * (np.asarray(ci[lo:lo + m])
-                               + 1j * np.asarray(cq[lo:lo + m])) * carrier
+        x[seg] += (amplitude * (np.asarray(ci[lo:lo + m])
+                                + 1j * np.asarray(cq[lo:lo + m])) * carrier
+                   ).astype(np.complex64)
     return x.real.astype(np.float32), x.imag.astype(np.float32)
 
 

@@ -81,6 +81,41 @@ class TestFoAlignment:
         assert 0.2 < np.max(fo) < 0.3
         assert -0.3 < np.min(fo) < -0.2
 
+    @pytest.mark.parametrize("sps,flavor", [(4, "c"), (8, "python")])
+    def test_fixed_vs_float_flavor_fo_curves(self, sps, flavor):
+        """The fixed-point modulators must track the float golden
+        modulator's frequency trajectory at their defined sps — the guard
+        that would have caught the round-3 sps=80 misuse (the fixed-point
+        phase table is a power of two ONLY at sps 4/8; wrapping it with
+        bitwise_and elsewhere silently corrupts the phase).
+        Methodology: reference test_alignment_with_btle_sdr.py:40-92."""
+        pdu = B.hex_to_bits(BER_PDU_HEX)
+        fi_i, fi_q, phy = G.btle_tx(pdu, 37, sps=sps, flavor=flavor)
+        fl_i, fl_q = G.gfsk_modulate_float(phy, sps)
+        fo_fix = instantaneous_freq(fi_i, fi_q, sps)
+        fo_flt = instantaneous_freq(fl_i, fl_q, sps)
+        n = min(len(fo_fix), len(fo_flt)) - 4 * sps
+        # same sps, so only the small filter-delay offset differs
+        best = min(
+            np.mean(np.abs(fo_fix[4 * sps : n - 2 * sps]
+                           - fo_flt[4 * sps + k : n - 2 * sps + k]))
+            for k in range(-2 * sps, 2 * sps + 1)
+        )
+        assert best < 0.05, (sps, flavor, best)
+
+    @pytest.mark.parametrize("sps", [10, 80])
+    def test_fixed_point_flavor_rejects_non_pow2_sps(self, sps):
+        """sps values whose phase table is not a power of two must be
+        REJECTED, not silently mis-wrapped (the round-3 plan_to_wideband
+        bug class). gfsk_modulate_float is the arbitrary-sps path."""
+        bits = np.zeros(16, np.int8)
+        with pytest.raises(ValueError, match="power-of-two"):
+            G.gfsk_modulate_python(bits, sps)
+        from btle_tpu.phy.tables import golden_mod_tables
+
+        with pytest.raises(ValueError, match="power-of-two"):
+            golden_mod_tables(sps)
+
 
 class TestModuleVectorHandoff:
     """The complete per-module RTL vector handoff: one emitted file set

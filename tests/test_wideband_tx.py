@@ -21,8 +21,12 @@ from btle_tpu.wideband.channelizer import compose_wideband
 PLAN = [
     "37-ADV_IND-TxAdd-0-RxAdd-0-AdvA-010203040506-AdvData-00112233445566-Space-1",
     "38-ADV_NONCONN_IND-TxAdd-0-RxAdd-0-AdvA-0A0B0C0D0E0F-AdvData-CAFEBABE-Space-1",
-    # data channel with the default wideband keys (ADV AA / 0x555555)
-    "9-LL_DATA-AA-D6BE898E-LLID-1-NESN-0-SN-0-MD-0-DATA-AABBCCDDEE-CRCInit-555555-Space-1",
+    # data channel with the default wideband keys (ADV AA / 0x555555).
+    # NOTE: descriptor AA fields carry the NUMERIC access address
+    # (0x8E89BED6) — the reference parses AA with stream_flip=1
+    # (btle_tx.c:1253-1260), so octets are reversed onto the air as
+    # D6 BE 89 8E, exactly what the sniffer's default correlator keys on.
+    "9-LL_DATA-AA-8E89BED6-LLID-1-NESN-0-SN-0-MD-0-DATA-AABBCCDDEE-CRCInit-555555-Space-1",
 ]
 
 
