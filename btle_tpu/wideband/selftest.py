@@ -37,26 +37,37 @@ _N_WB = 280_000  # 3.5 ms of 80 Msps air
 
 
 def _scene():
-    """Deterministic packets -> (wi, wq, expected {channel: pdu bytes})."""
-    from ..golden import model as G
+    """Deterministic packets -> (wi, wq, expected {channel: pdu bytes}).
+
+    Built through the SHIPPED TX path — descriptor parse ->
+    tx.synth.scene_to_wideband (the same composition `tx --wideband-out`
+    runs) — so the hardware gate validates the code users run, not a
+    private synthesis twin. Expected PDU bytes are derived from the
+    parsed specs, keeping the known answer self-consistent.
+    """
     from ..spec import bits as B
-    from .channelizer import synthesize_wideband
+    from ..tx import parse_descriptor_sequence
+    from ..tx.synth import scene_to_wideband
 
     rng = np.random.default_rng(0xB7E)
-    signals, offsets, expected = {}, {}, {}
+    descs = []
     for k, ch in enumerate(SELFTEST_CHANNELS):
-        n_payload = 10 + 2 * k
-        hdr = 0x40 if ch in (37, 38, 39) else 0x01
-        payload = rng.integers(0, 256, n_payload, dtype=np.uint8)
-        pdu = np.concatenate([[hdr, n_payload], payload]).astype(np.uint8)
-        phy = G.assemble_phy_bits(B.bytes_to_bits(pdu), ch)
-        signals[ch] = G.gfsk_modulate_float(phy, 80)
-        offsets[ch] = 12_000 + 80_000 * k
-        expected[ch] = pdu
-    wi, wq = synthesize_wideband(signals, _N_WB, offsets)
+        payload = rng.integers(0, 256, 10 + 2 * k, dtype=np.uint8)
+        if ch in (37, 38, 39):
+            descs.append(
+                f"{ch}-ADV_NONCONN_IND-TxAdd-0-RxAdd-0"
+                f"-AdvA-{bytes(payload[:6]).hex()}"
+                f"-AdvData-{bytes(payload[6:]).hex()}-Space-1")
+        else:
+            descs.append(
+                f"{ch}-LL_DATA-AA-8E89BED6-LLID-1-NESN-0-SN-0-MD-0"
+                f"-DATA-{bytes(payload).hex()}-CRCInit-555555-Space-1")
+    specs, _ = parse_descriptor_sequence(descs)
+    placed = [(s, 12_000 + 80_000 * k) for k, s in enumerate(specs)]
+    expected = {s.channel: np.asarray(B.bits_to_bytes(s.info_bits[40:]),
+                                      np.uint8) for s in specs}
     # light deterministic noise so bit decisions are not degenerate ties
-    wi += rng.normal(0, 0.01, wi.shape).astype(np.float32)
-    wq += rng.normal(0, 0.01, wq.shape).astype(np.float32)
+    wi, wq = scene_to_wideband(placed, _N_WB, noise_std=0.01, seed=0xB7E)
     return wi, wq, expected
 
 

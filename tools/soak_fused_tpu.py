@@ -40,39 +40,43 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
 
-    from btle_tpu.golden import model as G
     from btle_tpu.spec import bits as B
-    from btle_tpu.wideband import (WidebandConfig, WidebandSniffer,
-                                   synthesize_wideband)
+    from btle_tpu.tx import parse_descriptor_sequence
+    from btle_tpu.tx.synth import burst_num_samples, scene_to_wideband
+    from btle_tpu.wideband import WidebandConfig, WidebandSniffer
 
     rng = np.random.default_rng(args.seed)
     n_wb = int(args.seconds * 80_000_000)
 
-    # One packet = header + payload; ADV headers on 37/38/39, LL data
-    # headers elsewhere. Packets are spread uniformly over channels and
-    # time with per-channel spacing that guarantees no intra-channel
+    # One packet = a real descriptor (ADV_NONCONN_IND on 37/38/39, LL_DATA
+    # keyed to the default scan AA elsewhere), synthesized and composed by
+    # the SHIPPED TX path (tx.synth.scene_to_wideband — the same code
+    # `tx --wideband-out` runs). Packets are spread uniformly over channels
+    # and time with per-channel spacing that guarantees no intra-channel
     # overlap (AA+PDU span at 4 Msps < 2000 ch-samples for 37-byte
     # payloads; keep >= 4000 ch-samples = 80k wb-samples apart).
+    t0 = time.time()
+    placed_specs = []    # (PacketSpec, offset_wb)
     injected = []        # (channel, offset_wb, pdu_bytes)
     per_ch_next = {}
-    sig_cache = {}
-    t0 = time.time()
-    wi = np.zeros(n_wb, np.float32)
-    wq = np.zeros(n_wb, np.float32)
     placed = 0
     attempts = 0
     while placed < args.packets and attempts < args.packets * 20:
         attempts += 1
         ch = int(rng.integers(0, 40))
-        n_payload = int(rng.integers(1, 38 if ch in (37, 38, 39) else 32))
-        hdr = 0x40 if ch in (37, 38, 39) else 0x01
-        if ch in (37, 38, 39) and n_payload < 6:
-            n_payload = 6            # ADV length floor (len_ok gate)
-        payload = rng.integers(0, 256, n_payload, dtype=np.uint8)
-        pdu = np.concatenate([[hdr, n_payload], payload]).astype(np.uint8)
-        sig = G.gfsk_modulate_float(
-            G.assemble_phy_bits(B.bytes_to_bits(pdu), ch), 80)
-        span_wb = len(sig[0]) + 80_000
+        if ch in (37, 38, 39):
+            n_payload = int(rng.integers(6, 38))
+            payload = rng.integers(0, 256, n_payload, dtype=np.uint8)
+            desc = (f"{ch}-ADV_NONCONN_IND-TxAdd-0-RxAdd-0"
+                    f"-AdvA-{bytes(payload[:6]).hex()}"
+                    f"-AdvData-{bytes(payload[6:]).hex()}-Space-1")
+        else:
+            n_payload = int(rng.integers(1, 32))
+            payload = rng.integers(0, 256, n_payload, dtype=np.uint8)
+            desc = (f"{ch}-LL_DATA-AA-8E89BED6-LLID-1-NESN-0-SN-0-MD-0"
+                    f"-DATA-{bytes(payload).hex()}-CRCInit-555555-Space-1")
+        (spec,), _ = parse_descriptor_sequence([desc])
+        span_wb = burst_num_samples(spec) + 80_000
         off = int(rng.integers(0, max(1, n_wb - span_wb)))
         lo = per_ch_next.get(ch, 0)
         if off < lo:
@@ -80,14 +84,13 @@ def main():
         if off + span_wb >= n_wb:
             continue
         per_ch_next[ch] = off + span_wb
-        si, sq = synthesize_wideband({ch: sig}, n_wb, {ch: off})
-        wi += si
-        wq += sq
-        injected.append((ch, off, bytes(pdu)))
+        placed_specs.append((spec, off))
+        injected.append((ch, off,
+                         bytes(B.bits_to_bytes(spec.info_bits[40:]))))
         placed += 1
     # light noise floor so ties are not degenerate zeros
-    wi += rng.normal(0, 0.01, n_wb).astype(np.float32)
-    wq += rng.normal(0, 0.01, n_wb).astype(np.float32)
+    wi, wq = scene_to_wideband(placed_specs, n_wb, noise_std=0.01,
+                               seed=args.seed)
     print(f"synthesized {placed} packets over {args.seconds}s of airspace "
           f"({time.time()-t0:.1f}s)", flush=True)
 
