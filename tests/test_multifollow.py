@@ -201,6 +201,113 @@ class TestWidebandMultiFollow:
             B.hex_to_bits(AA_2.to_bytes(4, "little").hex()))
 
 
+@pytest.mark.slow
+class TestDenseMultiFollow:
+    """13 concurrent connections through the wideband pipeline in one
+    scene: registration burst, per-connection sync, a simultaneous
+    13-channel hop re-key, a deliberate same-hop channel collision with
+    recovery, and a staleness drop that frees its channel for another
+    connection's hop — per-connection byte-exact packet recovery
+    asserted throughout. Scales the 2-connection E2E to the density the
+    37-connection claim implies (the reference's single radio follows
+    exactly one connection, btle_rx.c:2403-2536)."""
+
+    # interval 16 = 20000 us: synced conns hop when now-sync > 13000
+    # (GUARD_US 7000); the first block tick past that is 22528 us.
+    HOPS = [5, 6, 7, 8, 10, 11, 12, 13, 14, 15]   # dwell2 = 2*hop % 37
+    HOP_AB = 9                                     # the collision pair
+    HOP_L = 16                                     # the stale connection
+
+    def _aa(self, j):
+        return 0x53A00000 + j * 0x01101
+
+    def _crc(self, j):
+        return f"{0x111111 + j * 0x030201:06x}"
+
+    def test_thirteen_connections_hop_collide_drop(self, rng):
+        from btle_tpu.wideband.channelizer import compose_wideband
+
+        # connection table: 0..9 regular, 10 = A (wins ch9), 11 = B
+        # (loses ch9 until A hops away), 12 = L (interval 8, never sends
+        # data -> stale-drops at tick 22528: 22528-2000 > 2*10000)
+        hops = self.HOPS + [self.HOP_AB, self.HOP_AB, self.HOP_L]
+        intervals = [16] * 12 + [8]
+        # A's CONNECT_REQ must decode before B's in the same block:
+        # bin order is ch39(19) < ch37(20) < ch38(32)
+        cr_ch = [[37, 38, 39][j % 3] for j in range(10)] + [39, 38, 37]
+        cr_t = [200 + (j // 3) * 450 for j in range(13)]  # us, block 0
+
+        placements = []   # (channel, start_wb, i, q)
+        expected = []     # (channel, pdu_bytes, access_addr)
+
+        def place(ch, t_us, pdu_bits, crc_hex="555555", aa_hex="d6be898e"):
+            phy = G.assemble_phy_bits(pdu_bits, ch, crc_init_hex=crc_hex,
+                                      access_address_hex=aa_hex)
+            si, sq = G.gfsk_modulate_float(phy, 80)
+            placements.append((ch, t_us * 80, si.astype(np.float32),
+                               sq.astype(np.float32)))
+
+        for j in range(13):
+            cr = connect_req_pdu_bytes(self._aa(j), self._crc(j), hops[j],
+                                       intervals[j])
+            place(cr_ch[j], cr_t[j], B.bytes_to_bits(cr))
+            expected.append((cr_ch[j], bytes(cr), 0x8E89BED6))
+
+        def data_pdu(j, phase):
+            payload = rng.integers(0, 256, 8 + j % 5, dtype=np.uint8)
+            pdu = np.concatenate(
+                [[0x01, len(payload)], payload]).astype(np.uint8)
+            return pdu
+
+        def place_data(j, ch, t_us):
+            pdu = data_pdu(j, t_us)
+            aa_hex = self._aa(j).to_bytes(4, "little").hex()
+            place(ch, t_us, B.bytes_to_bits(pdu), crc_hex=self._crc(j),
+                  aa_hex=aa_hex)
+            expected.append((ch, bytes(pdu), self._aa(j)))
+
+        # sync packets, block 4 (8192-10240 us): dwell1 = hop % 37;
+        # A owns ch9; B and L send nothing yet
+        for j in range(11):
+            place_data(j, hops[j] % 37, 8300 + j * 50)
+        # tick 22528: every synced conn hops to 2*hop % 37; L stale-drops
+        # (freeing ch16 for conn 3's hop 8 -> 16); ch9's owner A leaves,
+        # so the rebuild hands ch9 to still-waiting B
+        for j in range(11):
+            place_data(j, (2 * hops[j]) % 37, 24700 + j * 50)
+        place_data(11, self.HOP_AB, 24000)        # B finally syncs on ch9
+
+        n_wb = 29000 * 80
+        wi, wq = compose_wideband(placements, n_wb)
+        wi += rng.normal(0, 0.01, n_wb).astype(np.float32)
+        wq += rng.normal(0, 0.01, n_wb).astype(np.float32)
+
+        sn = WidebandSniffer(WidebandConfig(follow_connections=True,
+                                            max_follow=16,
+                                            drop_after_intervals=2))
+        pkts = [p for p in sn.run(wi, wq) if p.crc_ok]
+        got = {(p.channel, bytes(p.pdu_bytes)): p for p in pkts}
+
+        missing = [(ch, pdu.hex()) for ch, pdu, _ in expected
+                   if (ch, pdu) not in got]
+        assert not missing, f"{len(missing)} packets lost: {missing}"
+        for ch, pdu, aa in expected:
+            assert got[(ch, pdu)].access_addr == aa, (
+                f"ch{ch} decoded under AA {got[(ch, pdu)].access_addr:08x}, "
+                f"expected {aa:08x}")
+
+        f = sn.multi_follower
+        # L dropped; everyone else still tracked
+        assert set(f.connections) == {self._aa(j) for j in range(12)}
+        drops = [e for e in f.events if e.event == "track_drop"]
+        assert [e.access_addr for e in drops] == [self._aa(12)]
+        # the collision loser now owns ch9; the winner moved to 18
+        assert f._owners[channel_to_bin(9)] == self._aa(11)
+        assert f._owners[channel_to_bin(18)] == self._aa(10)
+        # conn 3 (hop 8) took over the dropped connection's channel 16
+        assert f._owners[channel_to_bin(16)] == self._aa(3)
+
+
 class TestShardedMultiFollow:
     def test_two_connections_across_steps(self, rng):
         """Sharded path: CONNECT_REQs in step 1 re-key each connection's
@@ -250,6 +357,92 @@ class TestShardedMultiFollow:
         assert set(by_ch) == {9, 7}
         np.testing.assert_array_equal(by_ch[9].pdu_bytes, B.bits_to_bytes(d1))
         np.testing.assert_array_equal(by_ch[7].pdu_bytes, B.bits_to_bytes(d2))
+
+
+class TestShardedDenseMultiFollow:
+    def test_six_connections_rekey_across_superblocks(self, rng):
+        """Sharded path, three super-blocks: 6 CONNECT_REQs register in
+        step 1, all 6 connections sync on their first hop channels in
+        step 2, the interval clock hops every connection between steps
+        (interval 8: 10000-7000 us guard elapses inside step 2), and
+        step 3 decodes every connection on its SECOND hop channel —
+        proving the super-block re-key granularity end-to-end at 3x the
+        previous density."""
+        from btle_tpu.dist import ShardedWidebandScan, make_mesh
+        from btle_tpu.wideband.channelizer import compose_wideband
+
+        hops = [5, 6, 7, 11, 13, 15]
+        aas = [0x6B000001 + 0x01103 * j for j in range(6)]
+        crcs = [f"{0x212121 + j * 0x030201:06x}" for j in range(6)]
+
+        mesh = make_mesh(1, 4)
+        block_wb = 80000                       # 1 ms of 80 Msps air
+        n = 4 * block_wb                       # one super-block = 4 ms
+        scan = ShardedWidebandScan(mesh, block_wb=block_wb)
+        scan.enable_connection_following(max_follow=8)
+
+        def compose(placements):
+            wi, wq = compose_wideband(placements, n)
+            wi += rng.normal(0, 0.01, n).astype(np.float32)
+            wq += rng.normal(0, 0.01, n).astype(np.float32)
+            return wi, wq
+
+        def burst(pdu_bits, ch, crc_hex="555555", aa_hex="d6be898e"):
+            phy = G.assemble_phy_bits(pdu_bits, ch, crc_init_hex=crc_hex,
+                                      access_address_hex=aa_hex)
+            si, sq = G.gfsk_modulate_float(phy, 80)
+            return si.astype(np.float32), sq.astype(np.float32)
+
+        # step 1: CONNECT_REQs (interval 8 -> hop guard 3000 us)
+        pl = []
+        for j in range(6):
+            cr = connect_req_pdu_bytes(aas[j], crcs[j], hops[j], 8)
+            ch = [37, 38, 39][j % 3]
+            pl.append((ch, (200 + (j // 3) * 450) * 80,
+                       *burst(B.bytes_to_bits(cr), ch)))
+        pkts1 = [p for p in scan.gather_packets(scan(*compose(pl)))
+                 if p.crc_ok]
+        assert len(pkts1) == 6
+        assert set(scan.multi_follower.connections) == set(aas)
+
+        def data(j):
+            payload = rng.integers(0, 256, 6 + j, dtype=np.uint8)
+            return np.concatenate(
+                [[0x01, len(payload)], payload]).astype(np.uint8)
+
+        # step 2: sync packets on dwell1 = hop % 37, early in the step
+        # (abs 4200..4300 us; different channels may overlap in time) so
+        # now_us=8000 at the step's tick clears the 3000 us hop guard
+        # for every connection
+        d1 = [data(j) for j in range(6)]
+        pl = [(hops[j] % 37, (200 + j * 20) * 80,
+               *burst(B.bytes_to_bits(d1[j]), hops[j] % 37, crcs[j],
+                      aas[j].to_bytes(4, "little").hex()))
+              for j in range(6)]
+        pkts2 = [p for p in scan.gather_packets(scan(*compose(pl)))
+                 if p.crc_ok]
+        by_ch = {p.channel: p for p in pkts2}
+        for j in range(6):
+            np.testing.assert_array_equal(by_ch[hops[j] % 37].pdu_bytes,
+                                          d1[j])
+            assert by_ch[hops[j] % 37].access_addr == aas[j]
+
+        # the tick hopped every tracker; step 3 decodes on dwell2
+        for j in range(6):
+            assert scan.multi_follower.connections[aas[j]].tracker.channel \
+                == (2 * hops[j]) % 37
+        d2 = [data(j + 6) for j in range(6)]
+        pl = [((2 * hops[j]) % 37, (300 + j * 100) * 80,
+               *burst(B.bytes_to_bits(d2[j]), (2 * hops[j]) % 37, crcs[j],
+                      aas[j].to_bytes(4, "little").hex()))
+              for j in range(6)]
+        pkts3 = [p for p in scan.gather_packets(scan(*compose(pl)))
+                 if p.crc_ok]
+        by_ch = {p.channel: p for p in pkts3}
+        for j in range(6):
+            ch = (2 * hops[j]) % 37
+            np.testing.assert_array_equal(by_ch[ch].pdu_bytes, d2[j])
+            assert by_ch[ch].access_addr == aas[j]
 
 
 def test_packet_access_addr_records_channel_key(rng):
