@@ -307,14 +307,16 @@ def cmd_tx(args):
 
 
 def cmd_analyze(args):
-    from .analyze import analyze_pcap, plot_capture
+    from .analyze import analyze_pcap, plot_capture, save_figures
 
     a = analyze_pcap(args.pcap)
     for line in a.summary_lines():
         print(line)
     if args.plot:
         ok = plot_capture(args.pcap, args.plot)
-        print(f"# plot {'written to ' + args.plot if ok else 'skipped (no matplotlib)'}",
+        written = save_figures(args.pcap, args.plot) if ok else []
+        names = [args.plot, *written] if ok else []
+        print(f"# plots {'written: ' + ', '.join(names) if ok else 'skipped (no matplotlib)'}",
               file=sys.stderr)
     return 0
 

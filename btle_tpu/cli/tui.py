@@ -236,7 +236,7 @@ class AnalyzeScreen(Screen):
     capture directory, render a quickscan summary of the selection."""
 
     title = "analyze"
-    footer = "up/down select  enter summarize  esc back  q quit"
+    footer = "up/down select  enter summarize  p plots  esc back  q quit"
 
     def __init__(self, app, pcap: Optional[str] = None):
         super().__init__(app)
@@ -290,8 +290,24 @@ class AnalyzeScreen(Screen):
             self.cursor = max(self.cursor - 1, 0)
         elif key == "\n" and files:
             self._summarize(files[min(self.cursor, len(files) - 1)])
+        elif key == "p" and files:
+            self._plots(files[min(self.cursor, len(files) - 1)])
         elif key == "\x1b":
             self.app.pop()
+
+    def _plots(self, path: Path):
+        """Write the timeline/intervals/vendors figures next to the pcap
+        (the reference TUI consumes the same figure functions its CLI
+        does, analyze.py:89-140 — a curses UI saves them instead)."""
+        from .analyze import save_figures
+
+        try:
+            written = save_figures(str(path), str(path.with_suffix(".png")))
+        except Exception as e:  # noqa: BLE001 — show the problem in-UI
+            self.summary = [f"error plotting {path.name}: {e}"]
+            return
+        self.summary = ([f"wrote {w}" for w in written]
+                        or ["plots skipped (no matplotlib)"])
 
 
 # ---------------------------------------------------------------- app
