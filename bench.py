@@ -130,6 +130,32 @@ def main():
         rates.append(iters / (time.perf_counter() - t0))
     samples_per_block = scan_len_ch * 20  # territory actually consumed
     msps = samples_per_block * sorted(rates)[len(rates) // 2] / 1e6
+
+    # regression-track the bit-faithful f32 parity mode alongside the
+    # headline (exact-f32 poly inner, the library's WidebandConfig
+    # default) — a parity-mode slowdown should be as visible run-to-run
+    # as a headline one. Skipped on the XLA fallback path (no second
+    # kernel config exists there).
+    parity = {}
+    if path != "xla":
+        pstep = make_step(wideband_scan_fused, compute_dtype="f32")
+        try:
+            float(fold([pstep(*b) for b in blocks[:2]]))
+            prates = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                scalars = [pstep(*blocks[k % len(blocks)])
+                           for k in range(iters)]
+                float(fold(scalars))
+                prates.append(iters / (time.perf_counter() - t0))
+            pmsps = samples_per_block * sorted(prates)[len(prates) // 2] / 1e6
+            parity = {"parity_msps": round(pmsps, 1),
+                      "parity_vs_baseline": round(pmsps / 800.0, 3),
+                      "parity_path": "fused-f32-poly"}
+        except Exception as e:  # pragma: no cover - keep the headline
+            print(f"# parity-mode measurement unavailable "
+                  f"({type(e).__name__})", file=sys.stderr)
+
     # "path" distinguishes the fused-Pallas production pipeline from the
     # XLA fallback in the recorded metric (a silent Pallas compile
     # regression would otherwise be indistinguishable from a slow run).
@@ -139,6 +165,7 @@ def main():
         "unit": "Msps",
         "vs_baseline": round(msps / 800.0, 3),
         "path": path,
+        **parity,
     }))
 
 

@@ -34,7 +34,13 @@ def main():
     ap.add_argument("--dtype", default="bf16x2w",
                     choices=["bf16x2w", "f32", "xla"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--connections", type=int, default=0,
+                    help="also follow N concurrent connections (<=12): "
+                         "CONNECT_REQs + per-connection data packets "
+                         "before AND after a simultaneous hop re-key")
     args = ap.parse_args()
+    if not 0 <= args.connections <= 12:
+        ap.error("--connections must be 0..12 (distinct hop values)")
 
     import jax
 
@@ -47,6 +53,8 @@ def main():
 
     rng = np.random.default_rng(args.seed)
     n_wb = int(args.seconds * 80_000_000)
+    if args.connections and n_wb < 29000 * 80:
+        n_wb = 29000 * 80   # the connection schedule spans ~26 ms of air
 
     # One packet = a real descriptor (ADV_NONCONN_IND on 37/38/39, LL_DATA
     # keyed to the default scan AA elsewhere), synthesized and composed by
@@ -59,9 +67,57 @@ def main():
     placed_specs = []    # (PacketSpec, offset_wb)
     injected = []        # (channel, offset_wb, pdu_bytes)
     per_ch_next = {}
+    conn_channels = set()
+
+    # connection-following phase (--connections N): N CONNECT_REQs in
+    # the first block, per-connection sync packets on each hop channel
+    # at ~8.3 ms, then — after the interval clock hops EVERY connection
+    # at the 22528 us block tick (interval 16: 20000-7000 us guard) —
+    # a second packet per connection on its new channel. Background
+    # traffic is kept off the connection channels (once owned, a channel
+    # no longer decodes the default scan AA) and off the advertising
+    # channels until the CONNECT_REQ burst has aired. Timing mirrors
+    # tests/test_multifollow.py::TestDenseMultiFollow.
+    hops = [5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16][: args.connections]
+    # after their scripted dwell-2 packets the trackers keep following:
+    # one hop at +13000 us and one skip-retune at +16000 us more before
+    # the staleness drop (drop_after_intervals=2 -> ~65 ms) unregisters
+    # them — so a connection can OWN any of its first four dwell
+    # channels while alive, and background traffic (keyed to the scan
+    # AA) must stay off those until every connection has dropped
+    conn_channels = {(k * h) % 37 for h in hops for k in (1, 2, 3, 4)}
+    _CONN_QUIET_WB = 70_000 * 80   # all connections dropped by ~65 ms
+    if args.connections:
+        for ch in (37, 38, 39):
+            per_ch_next[ch] = (200 + (args.connections // 3 + 1) * 450
+                               + 600) * 80
+        for j, hop in enumerate(hops):
+            aa = 0x53A00000 + j * 0x01103
+            crc = f"{0x111111 + j * 0x030201:06x}"
+            adv_ch = [37, 38, 39][j % 3]
+            cr = (f"{adv_ch}-CONNECT_REQ-TxAdd-0-RxAdd-0"
+                  f"-InitA-001830EA965F-AdvA-90D7EBB192{j:02X}"
+                  f"-AA-{aa:08X}-CRCInit-{crc.upper()}-WinSize-02"
+                  f"-WinOffset-000F-Interval-0010-Latency-0000"
+                  f"-Timeout-07D0-ChM-1FFFFFFFFF-Hop-{hop}-SCA-5-Space-1")
+            descs = [cr]
+            for ch, t_us in ((hop % 37, 8300 + j * 50),
+                             ((2 * hop) % 37, 24700 + j * 50)):
+                payload = rng.integers(0, 256, 6 + j, dtype=np.uint8)
+                descs.append(
+                    f"{ch}-LL_DATA-AA-{aa:08X}-LLID-1-NESN-0-SN-0-MD-0"
+                    f"-DATA-{bytes(payload).hex()}-CRCInit-{crc.upper()}"
+                    f"-Space-1")
+            specs, _ = parse_descriptor_sequence(descs)
+            for spec, t_us in zip(specs, (200 + (j // 3) * 450,
+                                          8300 + j * 50, 24700 + j * 50)):
+                placed_specs.append((spec, t_us * 80))
+                injected.append((spec.channel, t_us * 80,
+                                 bytes(B.bits_to_bytes(spec.info_bits[40:]))))
+
     placed = 0
     attempts = 0
-    while placed < args.packets and attempts < args.packets * 20:
+    while placed < args.packets and attempts < args.packets * 40:
         attempts += 1
         ch = int(rng.integers(0, 40))
         if ch in (37, 38, 39):
@@ -79,6 +135,8 @@ def main():
         span_wb = burst_num_samples(spec) + 80_000
         off = int(rng.integers(0, max(1, n_wb - span_wb)))
         lo = per_ch_next.get(ch, 0)
+        if ch in conn_channels and off < _CONN_QUIET_WB:
+            lo = max(lo, _CONN_QUIET_WB)   # wait out the live connections
         if off < lo:
             off = lo
         if off + span_wb >= n_wb:
@@ -91,11 +149,20 @@ def main():
     # light noise floor so ties are not degenerate zeros
     wi, wq = scene_to_wideband(placed_specs, n_wb, noise_std=0.01,
                                seed=args.seed)
-    print(f"synthesized {placed} packets over {args.seconds}s of airspace "
+    print(f"synthesized {placed} background packets"
+          + (f" + {3 * args.connections} connection packets "
+             f"({args.connections} connections)" if args.connections else "")
+          + f" over {n_wb / 80e6:.3f}s of airspace "
           f"({time.time()-t0:.1f}s)", flush=True)
 
     cfg = WidebandConfig(fused=args.dtype != "xla",
-                         fused_dtype=args.dtype if args.dtype != "xla" else "f32")
+                         fused_dtype=args.dtype if args.dtype != "xla" else "f32",
+                         follow_connections=args.connections > 0,
+                         max_follow=max(1, args.connections),
+                         # bounded wander: stale connections unregister
+                         # ~2 intervals after their last packet, freeing
+                         # their channels for the background traffic
+                         drop_after_intervals=2 if args.connections else None)
     sn = WidebandSniffer(cfg)
     t0 = time.time()
     pkts = sn.run(wi, wq)
@@ -110,8 +177,23 @@ def main():
     for ch, off, pdu in injected:
         if (ch, pdu) not in got:
             missing.append((ch, off, pdu.hex()))
-    extra_crc_ok = sum(len(v) for v in got.values()) - (placed - len(missing))
-    print(f"decoded {placed - len(missing)}/{placed} injected packets "
+    n_inj = len(injected)
+    extra_crc_ok = sum(len(v) for v in got.values()) - (n_inj - len(missing))
+    conn_fail = False
+    if args.connections:
+        evts = sn.multi_follower.events
+        n_started = len({e.access_addr for e in evts
+                         if e.event == "track_start"})
+        n_dropped = len({e.access_addr for e in evts
+                         if e.event == "track_drop"})
+        # every connection must register, deliver its packets (checked
+        # via `injected` above), then stale-drop cleanly
+        conn_fail = not (n_started == n_dropped == args.connections)
+        print(f"connections: {n_started}/{args.connections} registered, "
+              f"{n_dropped} stale-dropped, "
+              f"{len(sn.multi_follower.connections)} still tracked",
+              flush=True)
+    print(f"decoded {n_inj - len(missing)}/{n_inj} injected packets "
           f"(+{extra_crc_ok} duplicate/extra CRC-OK) in {dt:.1f}s host "
           f"wall-clock ({n_wb/dt/1e6:.0f} Msps incl. per-block host "
           f"round trips; bench.py measures the pipelined device rate)",
@@ -121,9 +203,12 @@ def main():
               flush=True)
     for m in missing[:10]:
         print("MISSING", m, flush=True)
-    print("RESULT:", "PASS" if not missing else f"FAIL ({len(missing)})",
+    ok = not missing and not conn_fail
+    print("RESULT:", "PASS" if ok else
+          f"FAIL ({len(missing)} missing"
+          + (", connection tracking incomplete" if conn_fail else "") + ")",
           flush=True)
-    return 0 if not missing else 1
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
