@@ -173,7 +173,15 @@ def cmd_wideband(args):
     cfg = WidebandConfig(follow_connections=args.follow or args.max_follow > 1,
                          max_follow=args.max_follow, fused=args.fused,
                          fused_dtype=args.fused_dtype)
-    if args.selftest:
+    selftest = args.selftest
+    if selftest is None:
+        # auto: the fused kernels on a real accelerator are gated by the
+        # known-answer test by DEFAULT — the throughput default
+        # (bf16x2w) ships behind this gate; --no-selftest skips it
+        import jax
+
+        selftest = cfg.fused and jax.default_backend() in ("tpu", "axon")
+    if selftest:
         # known-answer test ON THIS BACKEND, of EXACTLY the pipeline and
         # kernel configuration the scan below will deploy, before
         # committing to a capture run (a miscompiled kernel can run fine
@@ -428,15 +436,21 @@ def build_parser():
                         "(per-channel AA/CRC re-keying; implies --follow)")
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas front end (TPU hardware)")
-    p.add_argument("--fused-dtype", default="f32",
-                   choices=["f32", "bf16x2w", "bf16"],
+    p.add_argument("--fused-dtype", default="bf16x2w",
+                   choices=["bf16x2w", "f32", "bf16"],
                    help="fused front-end dynamic-range/throughput mode "
-                        "(PERF.md ladder): f32 = exact filterbank (parity "
-                        "default), bf16x2w = ~-96 dB weight pair at full "
-                        "MXU rate, bf16 = 8-bit-ADC-class stopband")
-    p.add_argument("--selftest", action="store_true",
+                        "(PERF.md ladder): bf16x2w = shipped default "
+                        "(~-96 dB weight pair at full MXU rate, "
+                        "packet-set-identical to f32 on hardware, "
+                        "selftest-gated), f32 = exact-filterbank parity "
+                        "mode, bf16 = 8-bit-ADC-class stopband")
+    p.add_argument("--selftest", default=None, action="store_true",
                    help="run the known-answer self-test on the attached "
-                        "backend before scanning (one extra compile)")
+                        "backend before scanning (one extra compile); "
+                        "runs AUTOMATICALLY when the fused pipeline is "
+                        "deployed on a TPU backend")
+    p.add_argument("--no-selftest", dest="selftest", action="store_false",
+                   help="skip the automatic fused-pipeline self-test")
     p.set_defaults(fn=cmd_wideband)
 
     p = sub.add_parser("tx", help="synthesize packets to an IQ file")

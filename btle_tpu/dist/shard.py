@@ -82,7 +82,7 @@ class ShardedWidebandScan:
                  access_address_hex: str = "D6BE898E",
                  crc_init_hex: str = "555555",
                  fused: bool = False, fused_tile: int | None = None,
-                 fused_dtype: str = "f32", fused_interpret: bool = False):
+                 fused_dtype: str = "bf16x2w", fused_interpret: bool = False):
         self.mesh = mesh
         self.n_ch = mesh.shape["ch"]
         self.n_time = mesh.shape["time"]
@@ -100,8 +100,9 @@ class ShardedWidebandScan:
             raise ValueError("fused sharding is time-parallel (n_ch must be 1)")
         self.fused = fused
         self.fused_tile = fused_tile
-        # same knob as WidebandConfig.fused_dtype: "f32" (exact, poly
-        # inner) or "bf16x2w"/"bf16" (throughput; see PERF.md ladder)
+        # same knob (and same shipped default) as
+        # WidebandConfig.fused_dtype: "bf16x2w" (production; selftest-
+        # gated) or "f32" (exact parity mode; see PERF.md ladder)
         self.fused_dtype = fused_dtype
         self.fused_interpret = fused_interpret
         self.block_wb = block_wb

@@ -469,18 +469,21 @@ def _default_tile(compute_dtype: str, inner: str) -> int:
     """Largest measured-fastest time tile that fits scoped VMEM (16 MB)
     per mode: bf16 operand storage halves the frame scratch, so the bf16
     modes take a 2048-frame tile (1003 vs 911 Msps at 1024 on v5e; 4096
-    regresses); the poly inner's grouped register chains fit a 3072 tile
-    at f32 (771 vs 756 Msps at 2048; 4096 exceeds the scoped limit);
-    polyroll only fits 1024 (its rolled broadcasts stay live — a wash vs
-    poly at 2048, kept as a measured negative); f32 im2col must stay at
-    1024 (its 520-row f32 im2col scratch plus the unrolled value chains
-    exceed the scoped limit)."""
+    regresses); the poly inner's grouped register chains fit tiles up to
+    3840 at f32 — the ~65 rolls per tile are the bound, so fewer/larger
+    tiles win until the VMEM cliff (round-4 sweep at the bench config:
+    3072 -> 776, 3328 -> 785, 3584 -> 794, 3840 -> 788 Msps; 4096
+    exceeds the scoped limit) — default 3584; polyroll only fits 1024
+    (its rolled broadcasts stay live — a wash vs poly, kept as a
+    measured negative); f32 im2col must stay at 1024 (its 520-row f32
+    im2col scratch plus the unrolled value chains exceed the scoped
+    limit)."""
     if compute_dtype == "f32" and inner == "im2col":
         return 1024
     if inner == "polyroll":
         return 1024
     if inner == "poly":
-        return 3072
+        return 3584
     return 2048
 
 

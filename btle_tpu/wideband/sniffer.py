@@ -145,10 +145,18 @@ class WidebandConfig:
     fused: bool = False
     # None = per-dtype measured default (fused._default_tile)
     fused_tile: int | None = None
-    # "f32": exact filterbank (Precision.HIGHEST on TPU, ~-100 dB);
-    # "bf16x2w": bf16 hi/lo weight pair + bf16 operands — the bench's
-    # production-throughput mode (see PERF.md dynamic-range ladder)
-    fused_dtype: str = "f32"
+    # Shipped default "bf16x2w": bf16 hi/lo weight pair + bf16 operands
+    # — exact for int8 SDR wire formats, hardware-validated packet-set-
+    # identical to the exact mode (tools/validate_fused_tpu.py, the
+    # 186-packet soak, KNOBMATRIX.json), 1057-1071 Msps on v5e = the
+    # BASELINE config-4 target with ~33% headroom. Deployments should
+    # gate a new backend/config with the known-answer selftest
+    # (WidebandSniffer.selftest() / `wideband --selftest`; the CLI runs
+    # it automatically on TPU backends). Opt-in "f32" is the bit-level
+    # parity mode: exact -100 dB filterbank via the true-polyphase VPU
+    # inner, 794 Msps (0.99x target) — see PERF.md's dynamic-range
+    # ladder for the full trade.
+    fused_dtype: str = "bf16x2w"
 
 
 @dataclass
@@ -261,6 +269,20 @@ class WidebandSniffer:
                 crc_rows[~adv] = C.crc_init_reorder(int(val))
         self.aa_rows = jnp.asarray(aa_rows)
         self.crc_inits = jnp.asarray(crc_rows)
+
+    def selftest(self) -> dict:
+        """Known-answer self-test of EXACTLY this sniffer's pipeline and
+        kernel configuration on the attached backend (wideband.selftest).
+        Run once per deployment / backend / config change before a long
+        capture — a miscompiled kernel can run fine and decode nothing.
+        Raises WidebandSelfTestError on failure; returns the decoded
+        {channel: position} map on success."""
+        from .selftest import fused_selftest
+
+        if self.cfg.fused:
+            return fused_selftest(compute_dtype=self.cfg.fused_dtype,
+                                  tile=self.cfg.fused_tile)
+        return fused_selftest(pipeline="xla")
 
     def process(self, i_wb, q_wb) -> list[WidebandPacket]:
         """Process one wideband block of wb_block_len samples. Successive

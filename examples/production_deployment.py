@@ -112,8 +112,9 @@ def main():
 
     # ---- 3. wideband deployment configuration ----
     # Production ladder (PERF.md, measured on TPU v5e):
-    #   exact parity mode:  fused=True, fused_dtype="f32"  (poly inner)
-    #   throughput mode:    fused=True, fused_dtype="bf16x2w"  (>10x RT)
+    #   shipped default:   fused=True, fused_dtype="bf16x2w" (>10x RT,
+    #                      selftest-gated, packet-set-identical to f32)
+    #   exact parity mode: fused=True, fused_dtype="f32" (poly inner)
     # On CPU this example keeps fused=False (the XLA path runs
     # everywhere); flip `on_tpu` logic for a real deployment.
     from btle_tpu.wideband import (WidebandConfig, WidebandSniffer,

@@ -143,7 +143,8 @@ class TestFusedSharded:
         mesh = make_mesh(1, 4)
         ref = ShardedWidebandScan(mesh, block_wb=len(wi) // 4)
         got = ShardedWidebandScan(mesh, block_wb=len(wi) // 4, fused=True,
-                                  fused_tile=512, fused_interpret=True)
+                                  fused_tile=512, fused_dtype="f32",
+                                  fused_interpret=True)
         with pltpu.force_tpu_interpret_mode():
             pr = ref.gather_packets(ref(wi, wq))
             pg = got.gather_packets(got(wi, wq))
@@ -188,7 +189,8 @@ class TestFusedSharded:
             wq[at : at + burst_len] += e
         mesh = make_mesh(1, n_time)
         scan = ShardedWidebandScan(mesh, block_wb=160000, fused=True,
-                                   fused_tile=512, fused_interpret=True)
+                                   fused_tile=512, fused_dtype="f32",
+                                   fused_interpret=True)
         with pltpu.force_tpu_interpret_mode():
             pkts = scan.gather_packets(scan(wi, wq))
         ok = [p for p in pkts if p.crc_ok]

@@ -189,8 +189,12 @@ def test_sniffer_fused_streaming_parity(rng):
     wq += rng.normal(0, 0.01, wq.shape).astype(np.float32)
 
     def run(fused):
+        # exact parity mode pinned: this test asserts the identical
+        # packet LIST vs the XLA path (the throughput default bf16x2w
+        # is packet-set-validated separately)
         sn = WidebandSniffer(WidebandConfig(scan_len_ch=8192, fused=fused,
-                                            fused_tile=512))
+                                            fused_tile=512,
+                                            fused_dtype="f32"))
         with pltpu.force_tpu_interpret_mode():
             pkts = sn.run(wi, wq)
         return [(p.channel, p.sample_pos, p.payload_len, p.crc_ok,
