@@ -205,6 +205,40 @@ def vendors_figure(cap_or_path, top_n: int = 12):
     return fig
 
 
+def waterfall_figure(i, q, fs_hz: float, center_hz: float | None = None,
+                     fft_size: int = 256, win_len: int | None = None,
+                     hop: int | None = None):
+    """Sliding-FFT waterfall of an IQ capture — the reference's
+    water_fall view (host/ble_fpga_ctl/water_fall.m:24-38: imagesc with
+    0.1/99.9-percentile color limits, time in us rightward, frequency
+    ascending).  center_hz labels the axis with absolute RF frequencies
+    when given (wideband captures), offsets otherwise.  Returns a Figure
+    or None when matplotlib is absent."""
+    plt = _plt()
+    if plt is None:
+        return None
+    from ..utils.spectrum import waterfall, waterfall_extent
+
+    power = waterfall(i, q, fft_size=fft_size, win_len=win_len, hop=hop)
+    wl = win_len or fft_size
+    t0, t1, f_lo, f_hi = waterfall_extent(len(i), fs_hz, wl, hop or wl)
+    if center_hz:
+        f_lo, f_hi = f_lo + center_hz, f_hi + center_hz
+    db = 10.0 * np.log10(np.maximum(power, 1e-30))
+    vmin, vmax = np.percentile(db, [0.1, 99.9])
+    fig, ax = plt.subplots(figsize=(10, 5))
+    im = ax.imshow(db, aspect="auto", origin="lower",
+                   extent=(t0, t1, f_lo, f_hi), cmap="viridis",
+                   vmin=vmin, vmax=max(vmax, vmin + 1.0))
+    fig.colorbar(im, ax=ax, label="power (dB)")
+    ax.set_xlabel("time (us)")
+    ax.set_ylabel("freq (Hz)" if center_hz else "freq offset (Hz)")
+    ax.set_title(f"waterfall ({len(i)} samples @ {fs_hz/1e6:g} Msps, "
+                 f"fft {fft_size})")
+    fig.tight_layout()
+    return fig
+
+
 def save_figures(path, base_png: str) -> list[str]:
     """Write the three analysis figures next to ``base_png`` as
     <stem>-timeline/-intervals/-vendors.png. Returns the written paths

@@ -8,6 +8,7 @@ equivalents), wired to IQ capture files and stdin streams:
   tx        synthesize descriptor packets to an IQ file (btle_tx equivalent)
   scan      decode + aggregate into a device table
   analyze   summarize / plot a pcap
+  iq-show   waterfall spectrogram + occupancy summary of an IQ capture
   recon     quickscan | profile | diff | entropy on a pcap
   ber       BER sweep (test_btle_ber equivalent)
   mcp       run the MCP server (requires the `mcp` package)
@@ -329,6 +330,55 @@ def cmd_analyze(args):
     return 0
 
 
+def cmd_iq_show(args):
+    """Capture inspection without decoding — the reference's
+    test_rx_iq_show.py / water_fall.m workflow (SURVEY §2.4 IQ
+    inspection utilities) for every wire format the CLI reads."""
+    from ..stream.sources import ila_csv_source, iq_file_source
+    from ..utils.spectrum import occupancy, waterfall
+
+    src = (ila_csv_source(args.bin) if args.format == "csv"
+           else iq_file_source(args.bin, args.format))
+    chunks_i, chunks_q, total = [], [], 0
+    for ci, cq in src:
+        chunks_i.append(ci)
+        chunks_q.append(cq)
+        total += len(ci)
+        if total >= args.max_samples:
+            break
+    if not chunks_i:
+        raise SystemExit(f"iq-show: no samples in {args.bin}")
+    i = np.concatenate(chunks_i)[: args.max_samples]
+    q = np.concatenate(chunks_q)[: args.max_samples]
+    win = args.win or args.fft
+    hop = args.hop or win
+    power = waterfall(i, q, fft_size=args.fft, win_len=win, hop=hop)
+    print(f"# {args.bin}: {len(i)} IQ pairs @ {args.rate/1e6:g} Msps = "
+          f"{len(i)/args.rate*1e3:.3f} ms, waterfall {power.shape[0]}x"
+          f"{power.shape[1]} (fft {args.fft}, win {win}, hop {hop})")
+    occ = occupancy(power, args.rate, threshold_db=args.threshold_db)
+    if not occ:
+        print(f"# no bins above the noise floor + {args.threshold_db:g} dB")
+    for row in occ[:16]:
+        f_abs = (f", {(args.center + row['freq_offset_hz'])/1e6:.1f} MHz"
+                 if args.center else "")
+        print(f"offset {row['freq_offset_hz']/1e3:+9.1f} kHz{f_abs}  "
+              f"peak {row['peak_db']:5.1f} dB  duty {row['duty']:.3f}")
+    if len(occ) > 16:
+        print(f"# ... and {len(occ) - 16} more occupied bins")
+    if args.out:
+        from .analyze import waterfall_figure
+
+        fig = waterfall_figure(i, q, args.rate, center_hz=args.center,
+                               fft_size=args.fft, win_len=win, hop=hop)
+        if fig is None:
+            print("# waterfall PNG skipped (no matplotlib)", file=sys.stderr)
+        else:
+            fig.savefig(args.out, dpi=120)
+            print(f"# waterfall written: {args.out}", file=sys.stderr)
+    return 0
+
+
 def cmd_recon(args):
     from . import recon
 
@@ -478,6 +528,31 @@ def build_parser():
     p.add_argument("pcap")
     p.add_argument("--plot", default=None, help="write timeline plot PNG")
     p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("iq-show", help="inspect an IQ capture "
+                       "(waterfall spectrogram + occupancy summary)")
+    p.add_argument("bin", help="IQ capture file")
+    p.add_argument("--format", default="i16",
+                   choices=["i8", "i16", "f32", "csv"],
+                   help="sample format (i8=HackRF, i16=firmware, "
+                        "f32=usrp/wideband, csv=Vivado ILA)")
+    p.add_argument("--rate", type=float, default=8e6,
+                   help="sample rate in Hz (default 8e6; wideband "
+                        "captures are 80e6)")
+    p.add_argument("--center", type=float, default=None,
+                   help="RF center frequency in Hz for absolute axis "
+                        "labels (e.g. 2.441e9 for wideband)")
+    p.add_argument("--fft", type=int, default=256, help="FFT size")
+    p.add_argument("--win", type=int, default=None,
+                   help="samples fed to each FFT (default --fft)")
+    p.add_argument("--hop", type=int, default=None,
+                   help="window advance per column (default --win)")
+    p.add_argument("--max-samples", type=int, default=4_000_000,
+                   help="cap on samples read from the capture")
+    p.add_argument("--threshold-db", type=float, default=12.0,
+                   help="occupancy threshold above the noise floor")
+    p.add_argument("--out", default=None, help="write waterfall PNG")
+    p.set_defaults(fn=cmd_iq_show)
 
     p = sub.add_parser("recon", help="recon operations on a pcap")
     p.add_argument("op", choices=["quickscan", "profile", "diff", "entropy"])
