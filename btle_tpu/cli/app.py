@@ -29,6 +29,10 @@ def _add_rx_args(p):
                    help="sample format (i8=HackRF, i16=firmware, f32=usrp, csv=Vivado ILA)")
     p.add_argument("--channel", type=int, default=37)
     p.add_argument("--sps", type=int, default=4, help="samples per symbol")
+    p.add_argument("--phy", default="1m", choices=["1m", "2m"],
+                   help="LE PHY of the capture (2m = BLE 5 LE 2M: a "
+                        "--sps 4 capture is then 8 Msps; demod/framing "
+                        "are symbol-indexed, only timekeeping changes)")
     p.add_argument("--access-addr", default=None, help="hex access address (display order)")
     p.add_argument("--crc-init", default="555555", help="hex CRC init (display order)")
     p.add_argument("--access-mask", default=None, help="hex care-mask for AA bits")
@@ -86,6 +90,7 @@ def _build_sniffer(args):
         rotate_channels=(tuple(int(c) for c in args.rotate.split(","))
                          if getattr(args, "rotate", None) else ()),
         dwell_ms=getattr(args, "dwell_ms", 200),
+        phy=getattr(args, "phy", "1m"),
     )
     if args.pcap == "-" and args.json:
         raise SystemExit("decode: --json and --pcap - both write stdout; "
@@ -245,6 +250,14 @@ def cmd_tx(args):
         specs, repeat = parse_descriptor_sequence(args.descriptor)
     if args.repeat is not None:
         repeat = args.repeat
+    sym_rate = 1
+    if getattr(args, "phy", "1m") == "2m":
+        if args.wideband_out:
+            raise SystemExit(
+                "tx: --phy 2m cannot compose --wideband-out (the 40-ch "
+                "channelizer grid is 2 MHz / LE-1M-wide)")
+        specs = [s.to_2m() for s in specs]
+        sym_rate = 2
     packets = synthesize(specs, flavor="c", sps=4)
     for spec, pkt in zip(specs, packets):
         print(f"# ch{spec.channel} {spec.pkt_type} {len(pkt.i)} samples "
@@ -278,7 +291,8 @@ def cmd_tx(args):
             fh.write("\n")
         print(f"# trace files in {args.dump_dir}", file=sys.stderr)
     if args.out:
-        i, q = plan_to_stream(packets, sps=4, num_repeat=max(1, repeat))
+        i, q = plan_to_stream(packets, sps=4, num_repeat=max(1, repeat),
+                              sym_rate_msym=sym_rate)
         if args.out_format == "i8":
             arr = np.empty(2 * len(i), dtype=np.int8)
             arr[0::2] = np.clip(i, -128, 127)
@@ -306,8 +320,10 @@ def cmd_tx(args):
         from ..tx.playback import udp_transmit
 
         host, _, port = args.udp.rpartition(":")
+        # udp_transmit's sps is samples-per-us (rate + Space pacing):
+        # 4 at LE 1M, 8 for a 2M plan synthesized at 4 samples/symbol
         sent = udp_transmit(packets, int(port), host or "127.0.0.1",
-                            sps=4, num_repeat=repeat,
+                            sps=4 * sym_rate, num_repeat=repeat,
                             realtime=args.realtime)
         print(f"# transmitted {sent} IQ pairs to udp://{args.udp}"
               f"{' (realtime-paced)' if args.realtime else ''}",
@@ -509,6 +525,11 @@ def build_parser():
     p.add_argument("--out", default=None, help="output IQ file")
     p.add_argument("--out-format", default="f32", choices=["i8", "f32"])
     p.add_argument("--repeat", type=int, default=None)
+    p.add_argument("--phy", default="1m", choices=["1m", "2m"],
+                   help="frame the plan for this LE PHY (2m = BLE 5 LE "
+                        "2M: 16-bit preamble; output at --sps 4 is then "
+                        "an 8 Msps stream; decode it back with "
+                        "`decode --phy 2m`)")
     p.add_argument("--dump-dir", default=None,
                    help="write reference-style per-stage trace files")
     p.add_argument("--wideband-out", default=None, metavar="FILE",

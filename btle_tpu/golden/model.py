@@ -205,20 +205,34 @@ def assemble_phy_bits(
     channel: int = 37,
     crc_init_hex: str = ADV_CRC_INIT_HEX,
     access_address_hex: str = ADV_ACCESS_ADDRESS_HEX,
+    phy: str = "1m",
 ) -> np.ndarray:
-    """PDU bits -> whitened on-air bit stream (btlelib.btle_tx, py:344-393)."""
+    """PDU bits -> whitened on-air bit stream (btlelib.btle_tx, py:344-393).
+
+    phy "1m" is the reference's LE 1M framing (8-bit preamble). "2m" is
+    the BLE 5 LE 2M PHY: identical AA/CRC/whitening, but a 16-symbol
+    preamble (Core 5.3 Vol 6 Part B 2.1.1 — the alternation extends to
+    16 bits, still chosen so the first preamble bit equals AA bit 0).
+    The reference never implements 2M; everything downstream of the
+    preamble is rate-agnostic, so this is the only TX-side difference.
+    """
     aa_bits = B.hex_to_bits(access_address_hex)
-    if channel in (37, 38, 39):
+    if channel in (37, 38, 39) and phy == "1m":
         preamble = "aa"
     else:
         preamble = "55" if aa_bits[0] == 1 else "aa"  # btlelib.py:369-374
+    if phy == "2m":
+        preamble = preamble * 2
+    elif phy != "1m":
+        raise ValueError(f"unknown phy {phy!r}")
     head = B.hex_to_bits(preamble + access_address_hex)
+    pdu_at = len(head)  # 40 (1M) or 48 (2M): preamble never whitened/CRC'd
     info = np.concatenate([head, np.asarray(pdu_bits, dtype=np.int8)])
-    crc = C.crc24_bits(info[40:], B.hex_to_bits(crc_init_hex))
+    crc = C.crc24_bits(info[pdu_at:], B.hex_to_bits(crc_init_hex))
     info_crc = np.concatenate([info, crc])
-    phy = info_crc.copy()
-    phy[40:] = W.whiten_bits(info_crc[40:], channel)
-    return phy
+    phy_out = info_crc.copy()
+    phy_out[pdu_at:] = W.whiten_bits(info_crc[pdu_at:], channel)
+    return phy_out
 
 
 def btle_tx(
@@ -228,9 +242,15 @@ def btle_tx(
     access_address_hex: str = ADV_ACCESS_ADDRESS_HEX,
     sps: int = 8,
     flavor: str = "python",
+    phy: str = "1m",
 ):
-    """Full golden transmitter. Returns (i, q, phy_bits)."""
-    phy = assemble_phy_bits(pdu_bits, channel, crc_init_hex, access_address_hex)
+    """Full golden transmitter. Returns (i, q, phy_bits).
+
+    phy "2m" emits LE 2M framing (16-bit preamble); the modulator is
+    symbol-indexed so sps samples/symbol then means 2*sps Msps on air.
+    """
+    phy = assemble_phy_bits(pdu_bits, channel, crc_init_hex,
+                            access_address_hex, phy=phy)
     if flavor == "python":
         cos_o, sin_o, _ = gfsk_modulate_python(phy, sps)
     elif flavor == "c":

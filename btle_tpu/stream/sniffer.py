@@ -53,6 +53,15 @@ class SnifferConfig:
     # channels every dwell_ms of stream time. Mutually exclusive with hop.
     rotate_channels: tuple = ()
     dwell_ms: int = 200
+    # LE PHY: "1m" (reference) or "2m" (BLE 5 LE 2M, beyond-reference).
+    # The DSP is symbol-indexed so only wall-clock bookkeeping changes:
+    # at 2M a symbol is 0.5 us, so timestamps/dwell/hop timing divide
+    # sample counts by sps*2 instead of sps.
+    phy: str = "1m"
+
+    @property
+    def samples_per_us(self) -> int:
+        return self.sps * (2 if self.phy == "2m" else 1)
 
 
 @dataclass
@@ -144,7 +153,7 @@ class Sniffer:
         block_aa = self.access_addr
         now_us = 0
         for pkt in res.packets:
-            now_us = (block.offset + pkt.sample_pos) // cfg.sps
+            now_us = (block.offset + pkt.sample_pos) // cfg.samples_per_us
             self._handle_packet(pkt, now_us, block_channel, block_aa)
         if cfg.verbose and not self.quiet_text:
             for bad in res.bad_headers:
@@ -154,7 +163,7 @@ class Sniffer:
                     file=self.text_fh,
                 )
         it.consume_to(block.offset + res.consumed)
-        end_us = (block.offset + block.scan_len) // cfg.sps
+        end_us = (block.offset + block.scan_len) // cfg.samples_per_us
         if self.hop_tracker:
             self.hop_tracker.on_tick(end_us)
             self._sync_hop_state()

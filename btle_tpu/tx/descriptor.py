@@ -20,7 +20,7 @@ preamble+AA+PDU info bits, the CRC init, and the inter-packet Space.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 
@@ -98,10 +98,27 @@ class PacketSpec:
     space_ms: int = DEFAULT_SPACE_MS
     raw_phy_bits: np.ndarray | None = None  # RAW packets: final on-air bits
     fields: dict = field(default_factory=dict)
+    phy: str = "1m"                # "1m" | "2m" (LE 2M: 16-bit preamble)
 
     @property
     def num_info_bits(self) -> int:
         return len(self.info_bits)
+
+    @property
+    def pdu_start(self) -> int:
+        """Bit index of the PDU = preamble + AA span (40 on 1M, 48 on
+        2M's 16-bit preamble); CRC/whitening cover info_bits[pdu_start:]."""
+        return 48 if self.phy == "2m" else 40
+
+    def to_2m(self) -> "PacketSpec":
+        """The same packet framed for the LE 2M PHY (beyond-reference:
+        the C tool is LE-1M only). The 16-symbol preamble is the 1M
+        preamble byte's alternation extended, i.e. the byte repeated —
+        everything after the preamble is identical."""
+        if self.phy == "2m" or self.raw_phy_bits is not None:
+            return replace(self, phy="2m")
+        return replace(self, phy="2m", info_bits=np.concatenate(
+            [self.info_bits[:8], self.info_bits]))
 
     def phy_bits(self) -> np.ndarray:
         """info bits -> CRC24 -> whiten = final on-air bit stream."""
@@ -110,11 +127,12 @@ class PacketSpec:
         from ..spec import crc24 as C
         from ..spec import whitening as W
 
+        at = self.pdu_start
         info = self.info_bits
-        crc = C.crc24_bits(info[40:], B.hex_to_bits(self.crc_init_hex))
+        crc = C.crc24_bits(info[at:], B.hex_to_bits(self.crc_init_hex))
         whole = np.concatenate([info, crc])
         out = whole.copy()
-        out[40:] = W.whiten_bits(whole[40:], self.channel)
+        out[at:] = W.whiten_bits(whole[at:], self.channel)
         return out
 
 

@@ -62,11 +62,16 @@ def synthesize(specs: list[PacketSpec], flavor: str = "c", sps: int | None = Non
 
 
 def plan_to_stream(packets: list[SynthesizedPacket], sps: int = 4,
-                   num_repeat: int = 1) -> tuple[np.ndarray, np.ndarray]:
+                   num_repeat: int = 1, sym_rate_msym: int = 1
+                   ) -> tuple[np.ndarray, np.ndarray]:
     """Concatenate a transmission plan into one IQ stream with Space gaps
     (zero samples), the way tx_one_buf + the Space busy-wait would put it
     on the air (btle_tx.c:4307-4331). num_repeat=-1 is rejected here —
-    streaming callers should loop themselves."""
+    streaming callers should loop themselves.
+
+    sym_rate_msym: symbol rate in Msym/s (1 for LE 1M, 2 for LE 2M) —
+    the wall-clock Space gap is the same, but at 2M it spans twice the
+    samples for a given sps."""
     if num_repeat < 0:
         raise ValueError("infinite repeat cannot be materialized")
     segs_i, segs_q = [], []
@@ -74,7 +79,8 @@ def plan_to_stream(packets: list[SynthesizedPacket], sps: int = 4,
         for p in packets:
             segs_i.append(p.i.astype(np.int16))
             segs_q.append(p.q.astype(np.int16))
-            gap = int(p.space_ms * 1000 * sps)  # ms -> samples at sps Msps
+            # ms -> samples at sps*sym_rate Msps
+            gap = int(p.space_ms * 1000 * sps * sym_rate_msym)
             segs_i.append(np.zeros(gap, np.int16))
             segs_q.append(np.zeros(gap, np.int16))
     return np.concatenate(segs_i), np.concatenate(segs_q)
