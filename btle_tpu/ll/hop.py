@@ -9,6 +9,12 @@ first CRC-OK packet per dwell.
 Control logic stays host-side Python (as the reference keeps it outside
 the DSP); time is injected so the FSM is testable and can be driven by a
 stream clock (sample counts) or the wall clock.
+
+Beyond the reference: partial channel maps are followed via the spec's
+channel-selection algorithm #1 remapping (Core 5.3 Vol 6 Part B
+4.5.8.2) instead of refused — the reference's chm_is_full_map gate
+(btle_rx.c:2417-2425) drops any connection that masked even one noisy
+channel. ``require_full_map=True`` restores the reference-exact gate.
 """
 
 from __future__ import annotations
@@ -16,7 +22,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from ..spec.channels import channel_to_freq_hz, chm_is_full_map
+from ..spec.channels import (channel_to_freq_hz, chm_is_full_map,
+                             chm_used_channels, csa1_channel)
 from ..spec.crc24 import crc_init_reorder
 
 GUARD_US = 7000    # btle_rx.c:2404
@@ -70,6 +77,12 @@ class HopTracker:
     crc_init_internal: int = 0xAAAAAA
     retunes: int = 0
     events: list = field(default_factory=list)
+    # CSA#1 remapping state (beyond-reference: btle_rx.c:2417-2425 drops
+    # any non-full channel map; here partial maps follow via the spec's
+    # own remap, Core 5.3 Vol 6 Part B 4.5.8.2). hop_chan stays the
+    # UNMAPPED channel — the hop arithmetic never sees the map.
+    used: tuple = tuple(range(37))
+    require_full_map: bool = False  # True = reference-exact gating
 
     def _emit(self, ev: HopEvent):
         self.events.append(ev)
@@ -78,12 +91,12 @@ class HopTracker:
 
     def _retune(self, now_us: int, event: str, state_to: int):
         self.hop_chan = (self.hop_chan + self.hop) % 37
-        self.channel = self.hop_chan
+        self.channel = csa1_channel(self.hop_chan, self.used)
         self.retunes += 1
         self._emit(
             HopEvent(
-                event, self.state, state_to, self.hop_chan,
-                channel_to_freq_hz(self.hop_chan),
+                event, self.state, state_to, self.channel,
+                channel_to_freq_hz(self.channel),
                 self.conn.access_addr, self.conn.crc_init,
                 self.interval_us, self.hop, self.conn.chm, now_us,
             )
@@ -93,13 +106,19 @@ class HopTracker:
         """Call when a CRC-OK CONNECT_REQ was parsed (state 0 trigger)."""
         if self.state != 0:
             return
-        if not chm_is_full_map(conn.chm):
+        used = chm_used_channels(conn.chm)
+        # the spec's own validity floor is two used channels (a 1-channel
+        # map cannot hop); the reference-exact mode refuses ANY partial
+        # map (chm_is_full_map gate, btle_rx.c:2417-2425)
+        if len(used) < 2 or (self.require_full_map
+                             and not chm_is_full_map(conn.chm)):
             self._emit(
                 HopEvent("track_drop", 0, 0, self.channel, 0,
                          conn.access_addr, conn.crc_init, 0, conn.hop,
                          conn.chm, now_us)
             )
             return
+        self.used = used
         self.conn = conn
         self.hop = conn.hop
         self.interval_us = conn.interval * 1250

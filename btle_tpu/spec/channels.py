@@ -53,6 +53,27 @@ def chm_is_full_map(chm) -> bool:
     return chm[0] == 0x1F and chm[1:] == [0xFF] * 4
 
 
+def chm_used_channels(chm) -> tuple[int, ...]:
+    """Ascending data channels marked used by a CONNECT_REQ channel map.
+
+    ``chm`` is the 5-byte display-order map (0x1F first, as
+    parse_adv_pdu_payload_byte renders it, btle_rx.c:1676-1681); on air
+    the map is little-endian with bit j of byte k = channel 8k+j, so the
+    display order is reversed here.  This is the usedChannels list of
+    the BLE channel-selection algorithm #1 remapping step (Core 5.3
+    Vol 6 Part B 4.5.8.2) — capability the reference never implements
+    (it refuses any non-full map, btle_rx.c:2417-2425).
+    """
+    b = [int(x) for x in chm][::-1]
+    return tuple(ch for ch in range(37) if (b[ch // 8] >> (ch % 8)) & 1)
+
+
 def data_channel_hop(current: int, hop: int) -> int:
     """hop_chan = (hop_chan + hop) % 37 (btle_rx.c:2434)."""
     return (current + hop) % 37
+
+
+def csa1_channel(unmapped: int, used: tuple) -> int:
+    """CSA#1 remap: the unmapped channel itself when used, else
+    usedChannels[unmapped mod numUsed] (Core 5.3 Vol 6 Part B 4.5.8.2)."""
+    return unmapped if unmapped in used else used[unmapped % len(used)]

@@ -88,19 +88,50 @@ class TestSingleChannelHopFollow:
         assert t.hop == 9 and t.interval_us == 16 * 1250
         assert [e.event for e in t.events][:2] == ["track_start", "chan_change"]
 
-    def test_partial_channel_map_drops_track(self, rng):
+    def test_partial_channel_map_followed_via_csa1(self, rng):
+        """Beyond-reference E2E: a CONNECT_REQ masking data channel 9
+        still tracks — CSA#1 remaps the first unmapped channel (9) onto
+        used[9 % 36] = channel 10, and the data packet placed THERE
+        decodes (the reference drops any partial map, btle_rx.c:2417)."""
         sps = 4
         pdu_bits = connect_req_pdu()
-        # corrupt the channel map to a partial one (chm bytes inside payload)
         pdu = B.bits_to_bytes(pdu_bits)
-        pdu[2 + 28] = 0xFE  # chm LSByte
-        pdu[1] = pdu[1]     # length unchanged
+        pdu[2 + 29] = 0xFD  # chm on-air byte 1 (ch 8-15): mask channel 9
         pdu_bits = B.bytes_to_bits(pdu)
         ci, cq, _ = G.btle_tx(pdu_bits, 37, sps=sps, flavor="c")
+        i = np.zeros(60_000, np.int16)
+        q = np.zeros(60_000, np.int16)
+        place(i, q, 5_000, ci, cq)
+        d1 = data_pdu(rng)
+        ci, cq, _ = G.btle_tx(d1, 10, crc_init_hex=CRC_INIT_HEX,
+                              access_address_hex=CONN_AA_HEX, sps=sps,
+                              flavor="c")
+        place(i, q, 36_000, ci, cq)
+        sn = Sniffer(SnifferConfig(channel=37, sps=sps, hop=True),
+                     quiet_text=True)
+        events = sn.run(array_source(i, q))
+        ok = [e for e in events if e.crc_ok]
+        assert len(ok) == 2
+        assert ok[1].channel == 10
+        np.testing.assert_array_equal(
+            np.frombuffer(ok[1].payload_bytes, np.uint8),
+            B.bits_to_bytes(d1)[2:])
+        t = sn.hop_tracker
+        assert t.hop_chan == 9 and t.channel == 10
+        assert [e.event for e in t.events][:1] == ["track_start"]
+
+    def test_partial_map_reference_gate_opt_in(self, rng):
+        """require_full_map=True restores the reference's refusal."""
+        sps = 4
+        pdu = B.bits_to_bytes(connect_req_pdu())
+        pdu[2 + 28] = 0xFE
+        ci, cq, _ = G.btle_tx(B.bytes_to_bits(pdu), 37, sps=sps, flavor="c")
         i = np.zeros(30_000, np.int16)
         q = np.zeros(30_000, np.int16)
         place(i, q, 5_000, ci, cq)
-        sn = Sniffer(SnifferConfig(channel=37, sps=sps, hop=True), quiet_text=True)
+        sn = Sniffer(SnifferConfig(channel=37, sps=sps, hop=True),
+                     quiet_text=True)
+        sn.hop_tracker.require_full_map = True
         events = sn.run(array_source(i, q))
         assert any(e.crc_ok for e in events)
         assert sn.channel == 37                      # no retune

@@ -131,11 +131,55 @@ class TestHopTracker:
             interval=0x50, chm=chm,
         )
 
-    def test_partial_chm_drops_track(self):
+    def test_partial_chm_followed_via_csa1(self):
+        """Beyond-reference: a partial map engages CSA#1 remapping
+        (Core 5.3 4.5.8.2) instead of the reference's track_drop."""
+        # display [1F FF FF FD FF] = on-air b[1] bit1 clear = ch 9 unused
         t = HopTracker()
+        t.on_connect_req(self.conn(chm=bytes.fromhex("1FFFFFFDFF")), 0)
+        assert t.state == 1
+        # unmapped (0+9)%37 = 9 is masked -> used[9 % 36]; used ascending
+        # skips 9, so index 9 lands on channel 10
+        assert t.hop_chan == 9 and t.channel == 10
+        assert t.events[-1].event == "track_start"
+        assert t.events[-1].channel == 10
+
+    def test_partial_chm_unmasked_channels_unremapped(self):
+        # ch 0 masked only: (0+9)%37 = 9 is still used -> no remap
+        t = HopTracker()
+        t.on_connect_req(self.conn(chm=bytes.fromhex("1FFFFFFFFE")), 0)
+        assert t.state == 1 and t.channel == 9
+
+    def test_require_full_map_restores_reference_gate(self):
+        t = HopTracker(require_full_map=True)
         t.on_connect_req(self.conn(chm=bytes.fromhex("1FFFFFFFFE")), 0)
         assert t.state == 0
         assert t.events[-1].event == "track_drop"
+
+    def test_single_channel_map_dropped(self):
+        # fewer than 2 used channels cannot hop (spec validity floor)
+        t = HopTracker()
+        t.on_connect_req(self.conn(chm=bytes.fromhex("0000000001")), 0)
+        assert t.state == 0
+        assert t.events[-1].event == "track_drop"
+
+    def test_csa1_walks_only_used_channels(self):
+        from btle_tpu.spec.channels import chm_used_channels
+
+        chm = bytes.fromhex("1F00FF00FF")     # channels 0-7, 16-23, 32-36
+        used = chm_used_channels(chm)
+        assert used == tuple(range(8)) + tuple(range(16, 24)) + \
+            tuple(range(32, 37))
+        t = HopTracker()
+        t.on_connect_req(self.conn(chm=chm), 0)
+        seen = {t.channel}
+        for k in range(1, 80):
+            t.state = 2
+            t.time_mark_us = 0
+            t.on_tick(t.target_us + 1 + k)    # force a timed hop
+            assert t.channel in used
+            seen.add(t.channel)
+        assert seen == set(used)              # hop=9 covers the whole map
 
     def test_track_sequence(self):
         t = HopTracker()
