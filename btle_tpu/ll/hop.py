@@ -83,13 +83,59 @@ class HopTracker:
     # UNMAPPED channel — the hop arithmetic never sees the map.
     used: tuple = tuple(range(37))
     require_full_map: bool = False  # True = reference-exact gating
+    # live LL-control updates (beyond-reference: the reference parses
+    # LL_CHANNEL_MAP_REQ / LL_CONNECTION_UPDATE_REQ but never applies
+    # them — following silently breaks the moment a real connection
+    # updates, btle_rx.c:1797-1827 vs :2403-2536). A sniffer cannot
+    # observe the master's connEventCount directly, so the instant is
+    # tracked best-effort: event_count advances one per dwell
+    # (track_start = event 0), which is exact while the FSM paces at the
+    # connection interval and late-biased across re-syncs — and a LATE
+    # map/interval application recovers the follow, while the
+    # reference's alternative is losing the connection entirely.
+    event_count: int = 0
+    pending_chm: tuple | None = None       # (instant, used, chm_bytes)
+    pending_update: tuple | None = None    # (instant, interval_units)
 
     def _emit(self, ev: HopEvent):
         self.events.append(ev)
         if self.on_event:
             self.on_event(ev)
 
+    def _apply_pending(self, now_us: int):
+        """Apply sniffed LL-control updates once their instant arrives."""
+        if self.pending_chm and self.event_count >= self.pending_chm[0]:
+            _, self.used, chm = self.pending_chm
+            if self.conn is not None:
+                self.conn = ConnectionInfo(
+                    self.conn.access_addr, self.conn.crc_init, self.hop,
+                    self.conn.interval, chm)
+            self.pending_chm = None
+            self._emit(HopEvent(
+                "chm_update", self.state, self.state, self.channel,
+                channel_to_freq_hz(self.channel), self.access_addr,
+                self.conn.crc_init if self.conn else 0, self.interval_us,
+                self.hop, chm, now_us))
+        if self.pending_update and self.event_count >= self.pending_update[0]:
+            _, interval = self.pending_update
+            self.interval_us = interval * 1250
+            self.target_us = self.interval_us - GUARD_US
+            self.target_us_skip = self.interval_us - GUARD_US_SKIP
+            if self.conn is not None:
+                self.conn = ConnectionInfo(
+                    self.conn.access_addr, self.conn.crc_init, self.hop,
+                    interval, self.conn.chm)
+            self.pending_update = None
+            self._emit(HopEvent(
+                "conn_update", self.state, self.state, self.channel,
+                channel_to_freq_hz(self.channel), self.access_addr,
+                self.conn.crc_init if self.conn else 0, self.interval_us,
+                self.hop, self.conn.chm if self.conn else b"", now_us))
+
     def _retune(self, now_us: int, event: str, state_to: int):
+        if event == "chan_change":
+            self.event_count += 1
+            self._apply_pending(now_us)
         self.hop_chan = (self.hop_chan + self.hop) % 37
         self.channel = csa1_channel(self.hop_chan, self.used)
         self.retunes += 1
@@ -119,6 +165,9 @@ class HopTracker:
             )
             return
         self.used = used
+        self.event_count = 0
+        self.pending_chm = None
+        self.pending_update = None
         self.conn = conn
         self.hop = conn.hop
         self.interval_us = conn.interval * 1250
@@ -128,6 +177,27 @@ class HopTracker:
         self.access_addr = conn.access_addr
         self.crc_init_internal = crc_init_reorder(conn.crc_init)
         self.state = 1
+
+    def on_ll_ctrl(self, opcode: int, fields: dict, now_us: int):
+        """Feed sniffed LL control PDUs (CRC-OK, this connection's AA).
+
+        Applies LL_CHANNEL_MAP_REQ (0x01) and LL_CONNECTION_UPDATE_REQ
+        (0x00) at their instant (best-effort event counting — see the
+        class docstring); every other opcode is ignored here.
+        """
+        if self.state == 0:
+            return
+        if opcode == 0x01 and "chm" in fields and "instant" in fields:
+            used = chm_used_channels(fields["chm"])
+            if len(used) >= 2:
+                self.pending_chm = (int(fields["instant"]), used,
+                                    bytes(fields["chm"]))
+                self._apply_pending(now_us)
+        elif opcode == 0x00 and "interval" in fields and "instant" in fields:
+            if fields["interval"] > 0:
+                self.pending_update = (int(fields["instant"]),
+                                       int(fields["interval"]))
+                self._apply_pending(now_us)
 
     def on_crc_ok_packet(self, now_us: int):
         """Call for every CRC-OK packet on the current data channel."""

@@ -120,6 +120,11 @@ class MultiConnectionFollower:
             conn = self.connections[aa]
             conn.tracker.on_crc_ok_packet(now_us)
             conn.last_crc_ok_us = now_us
+            ctrl = getattr(getattr(pkt, "payload", None), "ctrl", None)
+            if ctrl is not None:
+                # route sniffed LL_CHANNEL_MAP_REQ/CONNECTION_UPDATE_REQ
+                # to the owning tracker (ll.hop.on_ll_ctrl)
+                conn.tracker.on_ll_ctrl(ctrl.opcode, ctrl.fields, now_us)
         return False
 
     @staticmethod

@@ -235,6 +235,12 @@ class Sniffer:
                 payload = parse_ll_payload(payload_bytes, header.llid)
             except ValueError:
                 return
+            if pkt.crc_ok and self.hop_tracker and payload.ctrl is not None:
+                # live map/interval updates keep the follow alive past
+                # LL_CHANNEL_MAP_REQ / LL_CONNECTION_UPDATE_REQ (the
+                # reference parses these but never applies them)
+                self.hop_tracker.on_ll_ctrl(payload.ctrl.opcode,
+                                            payload.ctrl.fields, now_us)
             if cfg.filter_adva is not None:
                 return  # data PDUs carry no AdvA (btle_rx.c:2353-2356)
             adv_a = None

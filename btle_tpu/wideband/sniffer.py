@@ -415,6 +415,10 @@ class WidebandSniffer:
                 self.connection, self.aa_rows, self.crc_inits = res
         elif pkt.crc_ok:
             self.hop_tracker.on_crc_ok_packet(now_us)
+            ctrl = getattr(pkt.payload, "ctrl", None)
+            if ctrl is not None:
+                # apply sniffed map/interval updates (ll.hop.on_ll_ctrl)
+                self.hop_tracker.on_ll_ctrl(ctrl.opcode, ctrl.fields, now_us)
 
     def _apply_follow_tables(self):
         aa_rows, crc = self.multi_follower.tables()

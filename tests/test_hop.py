@@ -120,6 +120,46 @@ class TestSingleChannelHopFollow:
         assert t.hop_chan == 9 and t.channel == 10
         assert [e.event for e in t.events][:1] == ["track_start"]
 
+    def test_channel_map_update_keeps_follow_alive(self, rng):
+        """Beyond-reference E2E: a sniffed LL_CHANNEL_MAP_REQ masking the
+        NEXT hop channel (18) re-keys the live follow at its instant, so
+        the next dwell lands on the CSA#1 remap (19) and decodes — the
+        reference parses the opcode but never applies it
+        (btle_rx.c:1797-1811), so its follow dies right here."""
+        sps = 4
+        n = 120_000
+        i = np.zeros(n, np.int16)
+        q = np.zeros(n, np.int16)
+        ci, cq, _ = G.btle_tx(connect_req_pdu(), 37, sps=sps, flavor="c")
+        place(i, q, 10_000, ci, cq)
+        # ch9 dwell: LL_CHANNEL_MAP_REQ, chm masks ch 18, instant 1
+        # (on-air: opcode 01 + chm LE [FF FF FB FF 1F] + instant 0100)
+        ctrl = np.array([0x03, 8, 0x01, 0xFF, 0xFF, 0xFB, 0xFF, 0x1F,
+                         0x01, 0x00], np.uint8)
+        ci, cq, _ = G.btle_tx(B.bytes_to_bits(ctrl), 9,
+                              crc_init_hex=CRC_INIT_HEX,
+                              access_address_hex=CONN_AA_HEX, sps=sps,
+                              flavor="c")
+        place(i, q, 36_000, ci, cq)   # t = 9000 us, first data dwell
+        d2 = data_pdu(rng)
+        ci, cq, _ = G.btle_tx(d2, 19, crc_init_hex=CRC_INIT_HEX,
+                              access_address_hex=CONN_AA_HEX, sps=sps,
+                              flavor="c")
+        place(i, q, 96_000, ci, cq)   # t = 24000 us: post-update dwell
+        sn = Sniffer(SnifferConfig(channel=37, sps=sps, hop=True),
+                     quiet_text=True)
+        events = sn.run(array_source(i, q))
+        ok = [e for e in events if e.crc_ok]
+        assert len(ok) == 3
+        assert ok[1].channel == 9     # the map-update packet itself
+        assert ok[2].channel == 19    # remapped dwell (18 is masked)
+        np.testing.assert_array_equal(
+            np.frombuffer(ok[2].payload_bytes, np.uint8),
+            B.bits_to_bytes(d2)[2:])
+        t = sn.hop_tracker
+        assert 18 not in t.used
+        assert any(e.event == "chm_update" for e in t.events)
+
     def test_partial_map_reference_gate_opt_in(self, rng):
         """require_full_map=True restores the reference's refusal."""
         sps = 4

@@ -163,6 +163,53 @@ class TestHopTracker:
         assert t.state == 0
         assert t.events[-1].event == "track_drop"
 
+    def _hop_once(self, t, k=1):
+        t.state = 2
+        t.time_mark_us = 0
+        t.on_tick(t.target_us + 1 + k)
+
+    def test_channel_map_update_applied_at_instant(self):
+        """LL_CHANNEL_MAP_REQ holds until its instant (event = dwell
+        count), then re-keys the CSA#1 map — the reference parses this
+        opcode and ignores it (follow breaks on a real map change)."""
+        t = HopTracker()
+        t.on_connect_req(self.conn(), 0)       # full map, hop 9, ch 9
+        # mask channel 27 ((9+9+9)%37 = the 3rd dwell's channel):
+        # display [1F F7 FF FF FF] = on-air byte3 bit3 clear = ch 27
+        t.on_ll_ctrl(0x01, {"chm": bytes.fromhex("1FF7FFFFFF"),
+                            "instant": 2}, 1000)
+        assert t.pending_chm is not None       # not yet (event_count 0)
+        self._hop_once(t, 1)                   # event 1 -> ch 18
+        assert t.pending_chm is not None and t.channel == 18
+        self._hop_once(t, 2)                   # event 2: map applies
+        assert t.pending_chm is None
+        assert 27 not in t.used and len(t.used) == 36
+        # unmapped 27 is now masked -> used[27 % 36] (ascending skips 27)
+        assert t.hop_chan == 27 and t.channel == 28
+        assert any(e.event == "chm_update" for e in t.events)
+
+    def test_connection_update_changes_interval_at_instant(self):
+        t = HopTracker()
+        t.on_connect_req(self.conn(), 0)
+        assert t.interval_us == 0x50 * 1250
+        t.on_ll_ctrl(0x00, {"interval": 8, "instant": 0}, 500)
+        assert t.pending_update is None        # instant 0: immediate
+        assert t.interval_us == 10000
+        assert t.target_us == 10000 - 7000
+        assert t.conn.interval == 8
+        assert t.events[-1].event == "conn_update"
+
+    def test_invalid_ctrl_updates_ignored(self):
+        t = HopTracker()
+        t.on_connect_req(self.conn(), 0)
+        t.on_ll_ctrl(0x01, {"chm": bytes.fromhex("0000000001"),
+                            "instant": 0}, 0)  # 1-channel map: can't hop
+        assert t.pending_chm is None and len(t.used) == 37
+        t.on_ll_ctrl(0x00, {"interval": 0, "instant": 0}, 0)
+        assert t.interval_us == 0x50 * 1250
+        t.on_ll_ctrl(0x0C, {"vers_nr": 7}, 0)  # unrelated opcode
+        assert t.pending_chm is None and t.pending_update is None
+
     def test_csa1_walks_only_used_channels(self):
         from btle_tpu.spec.channels import chm_used_channels
 

@@ -148,6 +148,25 @@ class TestFollowerClock:
         np.testing.assert_array_equal(rows[channel_to_bin(9)], bits1)
         assert len(f.connections) == 2     # both tracked, one dwell missed
 
+    def test_ll_ctrl_routed_to_owning_tracker(self):
+        """A sniffed LL_CHANNEL_MAP_REQ on an owned channel re-keys that
+        connection's CSA#1 map (ll.hop.on_ll_ctrl routing)."""
+        from types import SimpleNamespace
+
+        aa_rows, crc_inits = _base_tables()
+        f = MultiConnectionFollower(aa_rows, crc_inits)
+        f.on_packet(FakePkt(37, connect_req_pdu_bytes(AA_1, CRC_1, 9, 16)),
+                    adv=True, now_us=0)                  # owns ch 9
+        pkt = FakePkt(9, np.frombuffer(b"\x03\x08", np.uint8))
+        pkt.payload = SimpleNamespace(ctrl=SimpleNamespace(
+            opcode=0x01,
+            fields={"chm": bytes.fromhex("1FFFFFFDFF"),  # mask ch 9
+                    "instant": 0}))
+        f.on_packet(pkt, adv=False, now_us=1000)
+        t = f.connections[AA_1].tracker
+        assert 9 not in t.used and len(t.used) == 36
+        assert any(e.event == "chm_update" for e in f.events)
+
 
 class TestWidebandMultiFollow:
     def test_two_connections_decode_concurrently(self, rng):
