@@ -329,6 +329,18 @@ class ShardedWidebandScan:
         now_us = (self._stream_offset_ch + pkt.sample_pos) // CH_SPS
         if self.multi_follower is not None:
             adv = pkt.channel in (37, 38, 39)
+            if not adv and pkt.crc_ok and pkt.payload is None:
+                # parse data PDUs so sniffed LL map/interval updates
+                # reach the owning tracker (ll.hop.on_ll_ctrl), like the
+                # single-device wideband sniffer's _attach_parse path
+                from ..ll.pdu import parse_ll_header, parse_ll_payload
+
+                try:
+                    pkt.header = parse_ll_header(pkt.pdu_bytes[:2])
+                    pkt.payload = parse_ll_payload(pkt.pdu_bytes[2:],
+                                                   pkt.header.llid)
+                except ValueError:
+                    pass
             self._follow_dirty |= self.multi_follower.on_packet(
                 pkt, adv, now_us)
             return
