@@ -133,3 +133,34 @@ class TestDescriptorProperties:
         payload = parse_adv_payload(pdu[2:], 0)
         assert payload.adv_a == bytes.fromhex("0A0B0C0D0E0F".lower())
         assert payload.data == adv_data
+
+
+class TestCsa1Properties:
+    """CSA#1 remapping invariants (Core 5.3 Vol 6 Part B 4.5.8.2) for
+    arbitrary channel maps — the unmapped hop walk must always land on a
+    used channel, agree with a bit-by-bit brute force of the map bytes,
+    and preserve used channels unremapped."""
+
+    @SET
+    @given(st.integers(0, 2**37 - 1), st.integers(5, 16),
+           st.integers(0, 36))
+    def test_remap_lands_on_used_channels(self, mask, hop, start):
+        from btle_tpu.spec.channels import chm_used_channels, csa1_channel
+
+        # build display-order chm bytes from the 37-bit mask
+        onair = int(mask).to_bytes(5, "little")
+        chm = bytes(onair[::-1])
+        brute = tuple(ch for ch in range(37) if (mask >> ch) & 1)
+        used = chm_used_channels(chm)
+        assert used == brute
+        if len(used) < 2:
+            return
+        un = start
+        for _ in range(64):
+            un = (un + hop) % 37
+            ch = csa1_channel(un, used)
+            assert ch in used
+            if un in used:
+                assert ch == un              # used channels never remap
+            else:
+                assert ch == used[un % len(used)]
