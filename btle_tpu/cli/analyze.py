@@ -207,7 +207,7 @@ def vendors_figure(cap_or_path, top_n: int = 12):
 
 def waterfall_figure(i, q, fs_hz: float, center_hz: float | None = None,
                      fft_size: int = 256, win_len: int | None = None,
-                     hop: int | None = None):
+                     hop: int | None = None, power=None):
     """Sliding-FFT waterfall of an IQ capture — the reference's
     water_fall view (host/ble_fpga_ctl/water_fall.m:24-38: imagesc with
     0.1/99.9-percentile color limits, time in us rightward, frequency
@@ -219,7 +219,8 @@ def waterfall_figure(i, q, fs_hz: float, center_hz: float | None = None,
         return None
     from ..utils.spectrum import waterfall, waterfall_extent
 
-    power = waterfall(i, q, fft_size=fft_size, win_len=win_len, hop=hop)
+    if power is None:  # callers with a computed matrix pass it through
+        power = waterfall(i, q, fft_size=fft_size, win_len=win_len, hop=hop)
     wl = win_len or fft_size
     t0, t1, f_lo, f_hi = waterfall_extent(len(i), fs_hz, wl, hop or wl)
     if center_hz:

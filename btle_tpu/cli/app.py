@@ -386,7 +386,8 @@ def cmd_iq_show(args):
         from .analyze import waterfall_figure
 
         fig = waterfall_figure(i, q, args.rate, center_hz=args.center,
-                               fft_size=args.fft, win_len=win, hop=hop)
+                               fft_size=args.fft, win_len=win, hop=hop,
+                               power=power)
         if fig is None:
             print("# waterfall PNG skipped (no matplotlib)", file=sys.stderr)
         else:
@@ -562,7 +563,8 @@ def build_parser():
                         "captures are 80e6)")
     p.add_argument("--center", type=float, default=None,
                    help="RF center frequency in Hz for absolute axis "
-                        "labels (e.g. 2.441e9 for wideband)")
+                        "labels (wideband captures are centred at "
+                        "2.442e9, channelizer.CENTER_FREQ_HZ)")
     p.add_argument("--fft", type=int, default=256, help="FFT size")
     p.add_argument("--win", type=int, default=None,
                    help="samples fed to each FFT (default --fft)")

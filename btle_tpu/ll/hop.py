@@ -89,9 +89,11 @@ class HopTracker:
     # updates, btle_rx.c:1797-1827 vs :2403-2536). A sniffer cannot
     # observe the master's connEventCount directly, so the instant is
     # tracked best-effort: event_count advances one per dwell
-    # (track_start = event 0), which is exact while the FSM paces at the
-    # connection interval and late-biased across re-syncs — and a LATE
-    # map/interval application recovers the follow, while the
+    # (track_start = event 0, wrapping mod 2^16 like the real counter),
+    # which is exact while the FSM paces at the connection interval and
+    # EARLY-biased across skip-state re-syncs (state-3 retunes every
+    # interval-4ms run ahead of the master's event clock) — a slightly
+    # early or late application still recovers the follow, while the
     # reference's alternative is losing the connection entirely.
     event_count: int = 0
     pending_chm: tuple | None = None       # (instant, used, chm_bytes)
@@ -102,9 +104,16 @@ class HopTracker:
         if self.on_event:
             self.on_event(ev)
 
+    def _instant_due(self, instant: int) -> bool:
+        """connEventCount comparison mod 2^16 (Core 5.3 Vol 6 Part B
+        5.1.1/5.1.2: an instant is in the past when it is within half the
+        counter range behind) — event_count wraps like the real counter,
+        so a plain >= would fire early after 65536 dwells."""
+        return ((self.event_count - instant) & 0xFFFF) < 0x8000
+
     def _apply_pending(self, now_us: int):
         """Apply sniffed LL-control updates once their instant arrives."""
-        if self.pending_chm and self.event_count >= self.pending_chm[0]:
+        if self.pending_chm and self._instant_due(self.pending_chm[0]):
             _, self.used, chm = self.pending_chm
             if self.conn is not None:
                 self.conn = ConnectionInfo(
@@ -116,7 +125,7 @@ class HopTracker:
                 channel_to_freq_hz(self.channel), self.access_addr,
                 self.conn.crc_init if self.conn else 0, self.interval_us,
                 self.hop, chm, now_us))
-        if self.pending_update and self.event_count >= self.pending_update[0]:
+        if self.pending_update and self._instant_due(self.pending_update[0]):
             _, interval = self.pending_update
             self.interval_us = interval * 1250
             self.target_us = self.interval_us - GUARD_US
@@ -134,7 +143,7 @@ class HopTracker:
 
     def _retune(self, now_us: int, event: str, state_to: int):
         if event == "chan_change":
-            self.event_count += 1
+            self.event_count = (self.event_count + 1) & 0xFFFF
             self._apply_pending(now_us)
         self.hop_chan = (self.hop_chan + self.hop) % 37
         self.channel = csa1_channel(self.hop_chan, self.used)

@@ -154,7 +154,7 @@ class MultiConnectionFollower:
         tracker = HopTracker(on_event=self._emit)
         tracker.on_connect_req(info, now_us)
         if tracker.state == 0:
-            return False                     # rejected (partial chm)
+            return False   # rejected (<2-channel map, or full-map gate)
         self.connections[aa] = TrackedConnection(
             aa, info, tracker,
             B.hex_to_bits(aa.to_bytes(4, "little").hex()),

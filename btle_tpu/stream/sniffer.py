@@ -59,6 +59,10 @@ class SnifferConfig:
     # sample counts by sps*2 instead of sps.
     phy: str = "1m"
 
+    def __post_init__(self):
+        if self.phy not in ("1m", "2m"):
+            raise ValueError(f"unknown phy {self.phy!r} (want '1m'|'2m')")
+
     @property
     def samples_per_us(self) -> int:
         return self.sps * (2 if self.phy == "2m" else 1)

@@ -13,8 +13,9 @@ reference's btle_rx + ble_fpga_ctl stack):
    exactly like the reference's ble_send_cmd register writes
    (host/ble_fpga_ctl/ble_send_cmd.c).
 3. Wideband deployment configuration: the fused Pallas front end with
-   the measured throughput/precision ladder (PERF.md) — exact f32
-   (poly inner) vs bf16x2w (bench mode) — selected per deployment.
+   the measured throughput/precision ladder (PERF.md) — bf16x2w (the
+   shipped default) vs exact f32 (poly-inner parity mode) — selected
+   per deployment.
 
 Runs anywhere:  python examples/production_deployment.py
 (On a TPU the fused kernel compiles natively and the bf16x2w mode is

@@ -199,6 +199,21 @@ class TestHopTracker:
         assert t.conn.interval == 8
         assert t.events[-1].event == "conn_update"
 
+    def test_instant_comparison_wraps_mod_2_16(self):
+        """connEventCount is 16-bit: an instant numerically below the
+        current count but ahead across the wrap must HOLD, and apply
+        once the counter wraps past it."""
+        t = HopTracker()
+        t.on_connect_req(self.conn(), 0)
+        t.event_count = 0xFFFE                 # long-lived follow
+        t.on_ll_ctrl(0x01, {"chm": bytes.fromhex("1FFFFFFDFF"),
+                            "instant": 2}, 0)  # 6 events ahead, wrapped
+        assert t.pending_chm is not None       # plain >= would fire now
+        for k in range(6):
+            self._hop_once(t, k)
+        assert t.event_count == 4 and t.pending_chm is None
+        assert 9 not in t.used
+
     def test_invalid_ctrl_updates_ignored(self):
         t = HopTracker()
         t.on_connect_req(self.conn(), 0)

@@ -123,6 +123,17 @@ class TestLoopback:
         assert 1900 <= t2[1] - t2[0] <= 2400
 
 
+class TestConfigValidation:
+    def test_unknown_phy_rejected_at_config(self):
+        from btle_tpu.stream import SnifferConfig
+
+        with pytest.raises(ValueError):
+            SnifferConfig(phy="2M")       # case-sensitive: '1m'|'2m'
+        with pytest.raises(ValueError):
+            SnifferConfig(phy="coded")
+        assert SnifferConfig(phy="2m").samples_per_us == 8
+
+
 class TestCli2m:
     def _run(self, *argv):
         return subprocess.run(
