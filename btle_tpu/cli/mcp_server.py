@@ -87,8 +87,47 @@ def ble_payload_entropy(pcap: str, adv_a: str) -> dict[str, Any]:
     return recon.payload_entropy(pcap, adv_a).model_dump(exclude_none=True)
 
 
+def ble_iq_occupancy(iq_file: str, fmt: str = "i16",
+                     rate_hz: float = 8e6, fft_size: int = 256,
+                     center_hz: float | None = None,
+                     threshold_db: float = 12.0,
+                     max_samples: int = 4_000_000) -> dict[str, Any]:
+    """Spectral occupancy of an IQ capture without decoding: which
+    frequency offsets carry energy, how strong, what duty cycle (the
+    waterfall view of `iq-show`, machine-readable). Beyond the
+    reference's 5-tool surface — its waterfall exists only as a plot."""
+    import numpy as np
+
+    from ..stream.sources import ila_csv_source, iq_file_source
+    from ..utils.spectrum import occupancy, waterfall
+
+    src = (ila_csv_source(iq_file) if fmt == "csv"
+           else iq_file_source(iq_file, fmt))
+    ci, cq, total = [], [], 0
+    for bi, bq in src:
+        ci.append(bi)
+        cq.append(bq)
+        total += len(bi)
+        if total >= max_samples:
+            break
+    i = np.concatenate(ci)[:max_samples]
+    q = np.concatenate(cq)[:max_samples]
+    power = waterfall(i, q, fft_size=fft_size)
+    occ = occupancy(power, rate_hz, threshold_db=threshold_db)
+    if center_hz:
+        for row in occ:
+            row["freq_hz"] = center_hz + row["freq_offset_hz"]
+    return {
+        "n_samples": int(len(i)),
+        "duration_ms": len(i) / rate_hz * 1e3,
+        "fft_size": fft_size,
+        "occupied_bins": occ[:64],
+        "n_occupied": len(occ),
+    }
+
+
 TOOLS = (ble_quickscan, ble_profile, ble_capture_to_pcap, ble_diff_pcaps,
-         ble_payload_entropy)
+         ble_payload_entropy, ble_iq_occupancy)
 
 
 def build_server():

@@ -98,7 +98,27 @@ class TestToolBodies:
         assert out["likely_counter_positions"] == [2]
         assert out["static_prefix_bytes"] == 2
 
+    def test_iq_occupancy(self, tmp_path):
+        import numpy as np
+
+        from btle_tpu.cli.mcp_server import ble_iq_occupancy
+
+        fs, n = 8e6, 65536
+        t = np.arange(n) / fs
+        z = 80 * np.exp(1j * 2 * np.pi * 1e6 * t)
+        iq = np.empty(2 * n, np.int16)
+        iq[0::2], iq[1::2] = z.real, z.imag
+        path = tmp_path / "tone.bin"
+        iq.tofile(path)
+        out = ble_iq_occupancy(str(path), "i16", center_hz=2.402e9)
+        assert out["n_samples"] == n and out["n_occupied"] >= 1
+        top = out["occupied_bins"][0]
+        assert abs(top["freq_offset_hz"] - 1e6) < fs / 256
+        assert abs(top["freq_hz"] - 2.403e9) < fs / 256
+        assert top["duty"] > 0.9
+
     def test_tool_registry_complete(self):
         names = {t.__name__ for t in TOOLS}
         assert names == {"ble_quickscan", "ble_profile", "ble_capture_to_pcap",
-                         "ble_diff_pcaps", "ble_payload_entropy"}
+                         "ble_diff_pcaps", "ble_payload_entropy",
+                         "ble_iq_occupancy"}
