@@ -38,9 +38,18 @@ def main():
                     help="also follow N concurrent connections (<=12): "
                          "CONNECT_REQs + per-connection data packets "
                          "before AND after a simultaneous hop re-key")
+    ap.add_argument("--map-updates", action="store_true",
+                    help="with --connections: each connection also airs "
+                         "an LL_CHANNEL_MAP_REQ (instant 1) masking its "
+                         "dwell-2 channel, so the second data packet "
+                         "lands on the CSA#1 remap — hardware E2E of "
+                         "live map application through the fused "
+                         "pipeline")
     args = ap.parse_args()
     if not 0 <= args.connections <= 12:
         ap.error("--connections must be 0..12 (distinct hop values)")
+    if args.map_updates and not args.connections:
+        ap.error("--map-updates needs --connections")
 
     import jax
 
@@ -86,6 +95,17 @@ def main():
     # channels while alive, and background traffic (keyed to the scan
     # AA) must stay off those until every connection has dropped
     conn_channels = {(k * h) % 37 for h in hops for k in (1, 2, 3, 4)}
+    if args.map_updates:
+        # masking dwell-2 moves dwells 2..4 onto the CSA#1 remap of the
+        # reduced map — quiet those channels too (plus the originals:
+        # the update only applies from the hop at ~22.5 ms)
+        from btle_tpu.spec.channels import csa1_channel
+
+        for h in hops:
+            masked = (2 * h) % 37
+            used = tuple(c for c in range(37) if c != masked)
+            conn_channels |= {csa1_channel((k * h) % 37, used)
+                              for k in (2, 3, 4)}
     _CONN_QUIET_WB = 70_000 * 80   # all connections dropped by ~65 ms
     if args.connections:
         for ch in (37, 38, 39):
@@ -101,16 +121,34 @@ def main():
                   f"-WinOffset-000F-Interval-0010-Latency-0000"
                   f"-Timeout-07D0-ChM-1FFFFFFFFF-Hop-{hop}-SCA-5-Space-1")
             descs = [cr]
+            times_us = [200 + (j // 3) * 450]
+            dwell2_ch = (2 * hop) % 37
+            if args.map_updates:
+                # mask the dwell-2 channel at instant 1: the hop at
+                # ~22.5 ms applies the map, so dwell 2 lands on the
+                # CSA#1 remap used[dwell2 % 36]
+                masked = dwell2_ch
+                onair = ((1 << 37) - 1) & ~(1 << masked)
+                chm_disp = onair.to_bytes(5, "little")[::-1].hex().upper()
+                used = tuple(c for c in range(37) if c != masked)
+                from btle_tpu.spec.channels import csa1_channel
+
+                dwell2_ch = csa1_channel((2 * hop) % 37, used)
+                descs.append(
+                    f"{hop % 37}-LL_CHANNEL_MAP_REQ-AA-{aa:08X}-LLID-3"
+                    f"-NESN-0-SN-0-MD-0-ChM-{chm_disp}-Instant-0001"
+                    f"-CRCInit-{crc.upper()}-Space-1")
+                times_us.append(15000 + j * 50)
             for ch, t_us in ((hop % 37, 8300 + j * 50),
-                             ((2 * hop) % 37, 24700 + j * 50)):
+                             (dwell2_ch, 24700 + j * 50)):
                 payload = rng.integers(0, 256, 6 + j, dtype=np.uint8)
                 descs.append(
                     f"{ch}-LL_DATA-AA-{aa:08X}-LLID-1-NESN-0-SN-0-MD-0"
                     f"-DATA-{bytes(payload).hex()}-CRCInit-{crc.upper()}"
                     f"-Space-1")
+                times_us.append(t_us)
             specs, _ = parse_descriptor_sequence(descs)
-            for spec, t_us in zip(specs, (200 + (j // 3) * 450,
-                                          8300 + j * 50, 24700 + j * 50)):
+            for spec, t_us in zip(specs, times_us):
                 placed_specs.append((spec, t_us * 80))
                 injected.append((spec.channel, t_us * 80,
                                  bytes(B.bits_to_bytes(spec.info_bits[40:]))))
@@ -149,9 +187,12 @@ def main():
     # light noise floor so ties are not degenerate zeros
     wi, wq = scene_to_wideband(placed_specs, n_wb, noise_std=0.01,
                                seed=args.seed)
+    per_conn = 4 if args.map_updates else 3
     print(f"synthesized {placed} background packets"
-          + (f" + {3 * args.connections} connection packets "
-             f"({args.connections} connections)" if args.connections else "")
+          + (f" + {per_conn * args.connections} connection packets "
+             f"({args.connections} connections"
+             + (", with map updates" if args.map_updates else "") + ")"
+             if args.connections else "")
           + f" over {n_wb / 80e6:.3f}s of airspace "
           f"({time.time()-t0:.1f}s)", flush=True)
 
@@ -189,9 +230,15 @@ def main():
         # every connection must register, deliver its packets (checked
         # via `injected` above), then stale-drop cleanly
         conn_fail = not (n_started == n_dropped == args.connections)
+        n_updated = len({e.access_addr for e in evts
+                         if e.event == "chm_update"})
+        if args.map_updates:
+            # every connection's LL_CHANNEL_MAP_REQ must decode AND apply
+            conn_fail |= n_updated != args.connections
         print(f"connections: {n_started}/{args.connections} registered, "
               f"{n_dropped} stale-dropped, "
-              f"{len(sn.multi_follower.connections)} still tracked",
+              f"{len(sn.multi_follower.connections)} still tracked"
+              + (f", {n_updated} map-updated" if args.map_updates else ""),
               flush=True)
     print(f"decoded {n_inj - len(missing)}/{n_inj} injected packets "
           f"(+{extra_crc_ok} duplicate/extra CRC-OK) in {dt:.1f}s host "
