@@ -452,7 +452,9 @@ def cmd_tui(args):
 
     events = sniffer.run(iq_file_source(args.bin, args.format))
     models = [packet_event_to_model(e) for e in events if e.header is not None]
-    run_curses(models, max_seconds=args.seconds)
+    rate = args.sps * (2 if getattr(args, "phy", "1m") == "2m" else 1) * 1e6
+    run_curses(models, max_seconds=args.seconds, iq_path=args.bin,
+               iq_format=args.format, sample_rate_hz=rate)
     return 0
 
 

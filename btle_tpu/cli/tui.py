@@ -1,9 +1,11 @@
-"""Multi-screen terminal UI: scan -> device detail -> capture -> analyze.
+"""Multi-screen terminal UI: scan -> device detail -> capture -> analyze
+(+ spectrum).
 
 Capability parity with the reference's four-screen Textual app
 (host/python/btle_cli/src/btle_cli/tui/: scan.py, device_detail.py,
 capture_live.py + capture_select.py, analyze.py) on the stdlib curses
-module so it runs everywhere.
+module so it runs everywhere — plus a fifth spectrum screen (the
+iq-show waterfall, ASCII-rendered) the reference does not have.
 
 Architecture: every screen renders to plain text lines
 (``lines(w, h) -> list[str]``) and consumes key strings
@@ -51,7 +53,8 @@ class ScanScreen(Screen):
     """Device table (the reference ScanScreen): sortable, selectable."""
 
     title = "scan"
-    footer = "up/down select  enter detail  c capture  a analyze  s sort  q quit"
+    footer = ("up/down select  enter detail  c capture  a analyze  "
+              "w spectrum  s sort  q quit")
     SORTS = ("pkts", "last_seen", "rssi", "name")
 
     def __init__(self, app):
@@ -103,6 +106,8 @@ class ScanScreen(Screen):
                 self.app, filter_adva=sel.adv_a if sel else None))
         elif key == "a":
             self.app.push(AnalyzeScreen(self.app))
+        elif key == "w":
+            self.app.push(SpectrumScreen(self.app))
 
 
 class DeviceDetailScreen(Screen):
@@ -310,6 +315,88 @@ class AnalyzeScreen(Screen):
                         or ["plots skipped (no matplotlib)"])
 
 
+class SpectrumScreen(Screen):
+    """Terminal spectrum of the source IQ capture — a 5th screen beyond
+    the reference TUI's four: the iq-show waterfall (utils/spectrum ≡
+    water_fall.m) rendered as ASCII per-bin power bars + the occupancy
+    table, for eyeballing RF activity without leaving the terminal."""
+
+    title = "spectrum"
+    footer = "r reload  esc back  q quit"
+    MAX_SAMPLES = 1_000_000
+
+    def __init__(self, app):
+        super().__init__(app)
+        self.error: Optional[str] = None
+        self.db = None               # (fft,) mean power per bin, dB
+        self.duty = None             # (fft,) fraction of columns above thr
+        self.n_samples = 0
+        self._load()
+
+    def _load(self):
+        import numpy as np
+
+        from ..stream.sources import ila_csv_source, iq_file_source
+        from ..utils.spectrum import waterfall
+
+        if not self.app.iq_path:
+            self.error = "no IQ source attached (event-stream-only tui)"
+            return
+        try:
+            src = (ila_csv_source(self.app.iq_path)
+                   if self.app.iq_format == "csv"
+                   else iq_file_source(self.app.iq_path, self.app.iq_format))
+            ci, cq, total = [], [], 0
+            for bi, bq in src:
+                ci.append(bi)
+                cq.append(bq)
+                total += len(bi)
+                if total >= self.MAX_SAMPLES:
+                    break
+            i = np.concatenate(ci)[: self.MAX_SAMPLES]
+            q = np.concatenate(cq)[: self.MAX_SAMPLES]
+            power = waterfall(i, q, fft_size=128)
+            mean = power.mean(axis=1)
+            self.db = 10.0 * np.log10(np.maximum(mean, 1e-30))
+            floor = np.median(power)
+            self.duty = (power > 10.0 * max(floor, 1e-30)).mean(axis=1)
+            self.n_samples = len(i)
+            self.error = None
+        except Exception as e:  # noqa: BLE001 — show the problem in-UI
+            self.error = f"spectrum failed: {e}"
+
+    def lines(self, w, h):
+        import numpy as np
+
+        if self.error:
+            return [self.error]
+        fs = self.app.sample_rate_hz
+        out = [f"{self.n_samples} samples @ {fs/1e6:g} Msps "
+               f"({self.n_samples/fs*1e3:.1f} ms), 128-bin mean spectrum"]
+        rows = max(4, min(h - 3, 32))
+        groups = np.array_split(np.arange(len(self.db)), rows)
+        db_r = np.array([self.db[g].max() for g in groups])
+        duty_r = np.array([self.duty[g].max() for g in groups])
+        lo, hi = float(db_r.min()), float(db_r.max())
+        span = max(hi - lo, 1.0)
+        bar_w = max(8, w - 30)
+        for g, dbv, duty in zip(groups, db_r, duty_r):
+            # group center frequency offset (bins are fftshifted)
+            bin_c = (g[0] + g[-1]) / 2.0
+            f_off = (bin_c - len(self.db) // 2) * fs / len(self.db)
+            n = int(round((dbv - lo) / span * bar_w))
+            out.append(f"{f_off/1e3:+9.0f} kHz {dbv:6.1f} dB "
+                       f"|{'#' * n}{' ' * (bar_w - n)}|"
+                       + (f" {100*duty:3.0f}%" if duty > 0 else ""))
+        return out
+
+    def on_key(self, key):
+        if key == "r":
+            self._load()
+        elif key == "\x1b":
+            self.app.pop()
+
+
 # ---------------------------------------------------------------- app
 
 
@@ -321,8 +408,13 @@ class BtleTui:
     """
 
     def __init__(self, event_iter: Iterable[Event],
-                 capture_dir: str | None = None):
+                 capture_dir: str | None = None,
+                 iq_path: str | None = None, iq_format: str = "i16",
+                 sample_rate_hz: float = 4e6):
         self.agg = ScanAggregator()
+        self.iq_path = iq_path
+        self.iq_format = iq_format
+        self.sample_rate_hz = sample_rate_hz
         self._events: Iterator[Event] = iter(event_iter)
         self.exhausted = False
         self.capture_dir = capture_dir or str(Path.home() / "btle_captures")
@@ -384,12 +476,15 @@ _KEYMAP = {10: "\n", 13: "\n", 27: "\x1b"}
 
 def run_curses(event_iter: Iterable[Event], refresh_s: float = 0.25,
                max_seconds: float | None = None,
-               capture_dir: str | None = None) -> ScanAggregator:
+               capture_dir: str | None = None,
+               iq_path: str | None = None, iq_format: str = "i16",
+               sample_rate_hz: float = 4e6) -> ScanAggregator:
     """Blit the app under curses until quit/EOF-timeout. Returns the
     final aggregator (tests use max_seconds for auto-exit)."""
     import curses
 
-    app = BtleTui(event_iter, capture_dir=capture_dir)
+    app = BtleTui(event_iter, capture_dir=capture_dir, iq_path=iq_path,
+                  iq_format=iq_format, sample_rate_hz=sample_rate_hz)
 
     def loop(stdscr):
         curses.curs_set(0)

@@ -172,3 +172,43 @@ class TestHeadless:
     def test_run_headless_aggregates(self):
         agg = run_headless(_stream())
         assert len(agg.devices) == 2
+
+
+class TestSpectrumScreen:
+    """5th screen (beyond the reference's four): ASCII spectrum of the
+    source IQ capture via utils/spectrum."""
+
+    def _tone_file(self, tmp_path, f_hz=1e6, fs=8e6, n=65536):
+        t = np.arange(n) / fs
+        z = 80 * np.exp(1j * 2 * np.pi * f_hz * t)
+        iq = np.empty(2 * n, np.int16)
+        iq[0::2], iq[1::2] = z.real, z.imag
+        path = tmp_path / "tone.bin"
+        iq.tofile(path)
+        return str(path)
+
+    def test_spectrum_screen_shows_tone(self, tmp_path):
+        from btle_tpu.cli.tui import SpectrumScreen
+
+        path = self._tone_file(tmp_path)
+        app = BtleTui(_stream(), iq_path=path, iq_format="i16",
+                      sample_rate_hz=8e6)
+        app.pump(99)
+        app.key("w")
+        assert isinstance(app.screen, SpectrumScreen)
+        text = "\n".join(app.render(100, 30))
+        assert "8 Msps" in text and "kHz" in text
+        # the +1 MHz tone row must carry the longest bar and ~100% duty
+        rows = [ln for ln in app.screen.lines(100, 28) if "kHz" in ln]
+        best = max(rows, key=lambda ln: ln.count("#"))
+        f_off = float(best.split("kHz")[0].strip().split()[-1])
+        assert abs(f_off - 1000) < 200
+        assert "100%" in best
+        app.key("\x1b")
+        assert isinstance(app.screen, ScanScreen)
+
+    def test_spectrum_without_source_reports_gracefully(self):
+        app = BtleTui(_stream())
+        app.key("w")
+        text = "\n".join(app.render(100, 30))
+        assert "no IQ source" in text
