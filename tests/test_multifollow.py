@@ -220,6 +220,63 @@ class TestWidebandMultiFollow:
             B.hex_to_bits(AA_2.to_bytes(4, "little").hex()))
 
 
+class TestWidebandMapUpdate:
+    def test_map_update_rekeys_live_follow(self, rng):
+        """E2E (XLA path; hardware twin = soak_fused_tpu --map-updates):
+        CONNECT_REQ (hop 9) -> sync on ch9 -> LL_CHANNEL_MAP_REQ masks
+        ch18 at instant 1 -> the 22528 us hop applies the map, so the
+        dwell-2 packet on the CSA#1 remap (ch19) decodes with the
+        connection's keys. The reference ignores the opcode and would
+        sit deaf on ch18."""
+        from btle_tpu.wideband.channelizer import (channel_to_bin,
+                                                   compose_wideband)
+
+        aa_hex = AA_1.to_bytes(4, "little").hex()
+        placements = []
+        expected = []
+
+        def place(ch, t_us, pdu, crc_hex="555555", aa="d6be898e"):
+            phy = G.assemble_phy_bits(B.bytes_to_bits(pdu), ch,
+                                      crc_init_hex=crc_hex,
+                                      access_address_hex=aa)
+            si, sq = G.gfsk_modulate_float(phy, 80)
+            placements.append((ch, t_us * 80, si.astype(np.float32),
+                               sq.astype(np.float32)))
+            expected.append((ch, bytes(pdu)))
+
+        place(37, 200, connect_req_pdu_bytes(AA_1, CRC_1, 9, 16))
+        d1 = np.concatenate([[0x01, 6],
+                             rng.integers(0, 256, 6)]).astype(np.uint8)
+        place(9, 8300, d1, CRC_1, aa_hex)
+        # LL_CHANNEL_MAP_REQ: opcode 01, chm on-air FF FF FB FF 1F
+        # (masks ch 18), instant 1
+        ctrl = np.array([0x03, 8, 0x01, 0xFF, 0xFF, 0xFB, 0xFF, 0x1F,
+                         0x01, 0x00], np.uint8)
+        place(9, 15000, ctrl, CRC_1, aa_hex)
+        d2 = np.concatenate([[0x01, 7],
+                             rng.integers(0, 256, 7)]).astype(np.uint8)
+        place(19, 24700, d2, CRC_1, aa_hex)   # used[18 % 36] = 19
+
+        n_wb = 29000 * 80
+        wi, wq = compose_wideband(placements, n_wb)
+        wi += rng.normal(0, 0.01, n_wb).astype(np.float32)
+        wq += rng.normal(0, 0.01, n_wb).astype(np.float32)
+
+        sn = WidebandSniffer(WidebandConfig(follow_connections=True,
+                                            max_follow=4))
+        pkts = [p for p in sn.run(wi, wq) if p.crc_ok]
+        got = {(p.channel, bytes(p.pdu_bytes)) for p in pkts}
+        assert all(e in got for e in expected), (expected, got)
+        t = sn.multi_follower.connections[AA_1].tracker
+        assert 18 not in t.used and t.channel == 19
+        assert any(e.event == "chm_update"
+                   for e in sn.multi_follower.events)
+        # post-hop ownership: the remapped channel carries AA_1's key
+        rows = np.asarray(sn.aa_rows)
+        np.testing.assert_array_equal(
+            rows[channel_to_bin(19)], B.hex_to_bits(aa_hex))
+
+
 @pytest.mark.slow
 class TestDenseMultiFollow:
     """13 concurrent connections through the wideband pipeline in one
