@@ -178,7 +178,8 @@ def cmd_wideband(args):
 
     cfg = WidebandConfig(follow_connections=args.follow or args.max_follow > 1,
                          max_follow=args.max_follow, fused=args.fused,
-                         fused_dtype=args.fused_dtype)
+                         fused_dtype=args.fused_dtype,
+                         phy=getattr(args, "phy", "1m"))
     selftest = args.selftest
     if selftest is None:
         # auto: the fused kernels on a real accelerator are gated by the
@@ -196,11 +197,12 @@ def cmd_wideband(args):
 
         if cfg.fused:
             positions = fused_selftest(compute_dtype=cfg.fused_dtype,
-                                       tile=cfg.fused_tile)
+                                       tile=cfg.fused_tile, phy=cfg.phy)
             mode = f"fused {cfg.fused_dtype}"
         else:
-            positions = fused_selftest(pipeline="xla")
+            positions = fused_selftest(pipeline="xla", phy=cfg.phy)
             mode = "xla"
+        mode += "" if cfg.phy == "1m" else f" {cfg.phy}"
         print(f"# self-test OK ({mode}): decoded "
               f"{sorted(positions)} at {positions}", file=sys.stderr)
 
@@ -252,10 +254,9 @@ def cmd_tx(args):
         repeat = args.repeat
     sym_rate = 1
     if getattr(args, "phy", "1m") == "2m":
-        if args.wideband_out:
-            raise SystemExit(
-                "tx: --phy 2m cannot compose --wideband-out (the 40-ch "
-                "channelizer grid is 2 MHz / LE-1M-wide)")
+        # plan_to_wideband synthesizes per-spec (2M bursts at 40
+        # samples/symbol), so --wideband-out composes 2M scenes too —
+        # decode them back with `wideband --phy 2m`
         specs = [s.to_2m() for s in specs]
         sym_rate = 2
     packets = synthesize(specs, flavor="c", sps=4)
@@ -513,6 +514,11 @@ def build_parser():
                         "packet-set-identical to f32 on hardware, "
                         "selftest-gated), f32 = exact-filterbank parity "
                         "mode, bf16 = 8-bit-ADC-class stopband")
+    p.add_argument("--phy", default="1m", choices=["1m", "2m"],
+                   help="LE PHY of the airspace: 2m scans all 40 "
+                        "channels of BLE 5 LE 2M from the same 80 Msps "
+                        "capture (2 samples/symbol per channel; the "
+                        "channel grid is unchanged)")
     p.add_argument("--selftest", default=None, action="store_true",
                    help="run the known-answer self-test on the attached "
                         "backend before scanning (one extra compile); "

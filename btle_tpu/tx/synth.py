@@ -93,6 +93,24 @@ _WB_LEAD = 8_000       # 100 us of quiet airspace before the first burst
 _WB_TAIL = 48_000      # 600 us after the last burst (decode window + halo)
 
 
+def _wb_sps(spec: PacketSpec) -> int:
+    """Samples per symbol at the 80 Msps wideband rate: 80 for LE 1M,
+    40 for LE 2M (2 Msym/s)."""
+    return _WB_FS // (2 if spec.phy == "2m" else 1)
+
+
+def _synthesize_bursts(specs: list[PacketSpec]) -> dict:
+    """id(spec) -> SynthesizedPacket at the wideband rate, grouping by
+    PHY so 1M and 2M packets share one scene (float flavor; the
+    fixed-point phase tables don't exist at these sps)."""
+    bursts: dict = {}
+    for sps in sorted({_wb_sps(s) for s in specs}):
+        grp = [s for s in specs if _wb_sps(s) == sps]
+        for s, p in zip(grp, synthesize(grp, flavor="float", sps=sps)):
+            bursts[id(s)] = p
+    return bursts
+
+
 def plan_to_wideband(specs: list[PacketSpec], num_repeat: int = 1,
                      amplitude: float = 1.0, noise_std: float = 0.0,
                      seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
@@ -113,16 +131,18 @@ def plan_to_wideband(specs: list[PacketSpec], num_repeat: int = 1,
     """
     if num_repeat < 0:
         raise ValueError("infinite repeat cannot be materialized")
-    pkts = synthesize(specs, flavor="float", sps=_WB_FS)
+    bursts = _synthesize_bursts(specs)
     placed = []
     t = _WB_LEAD
     for _ in range(num_repeat):
-        for p in pkts:
-            placed.append((p.spec, t))
+        for s in specs:
+            p = bursts[id(s)]
+            placed.append((s, t))
+            # the Space gap is wall-clock: 80k wb-samples per ms
             t += len(p.i) + int(p.space_ms * 1000 * _WB_FS)
     return scene_to_wideband(placed, t + _WB_TAIL, amplitude=amplitude,
                              noise_std=noise_std, seed=seed,
-                             _bursts={id(p.spec): p for p in pkts})
+                             _bursts=bursts)
 
 
 def scene_to_wideband(placed_specs: list, num_samples: int,
@@ -143,8 +163,7 @@ def scene_to_wideband(placed_specs: list, num_samples: int,
 
     if _bursts is None:
         uniq = list({id(s): s for s, _ in placed_specs}.values())
-        pkts = synthesize(uniq, flavor="float", sps=_WB_FS)
-        _bursts = {id(s): p for s, p in zip(uniq, pkts)}
+        _bursts = _synthesize_bursts(uniq)
     placements = [(s.channel, off, _bursts[id(s)].i.astype(np.float32),
                    _bursts[id(s)].q.astype(np.float32))
                   for s, off in placed_specs]
@@ -161,4 +180,5 @@ def burst_num_samples(spec: PacketSpec) -> int:
     80 Msps) without synthesizing it — len(phy_bits)*sps + conv tail."""
     from ..golden.model import gauss_fir
 
-    return len(spec.phy_bits()) * _WB_FS + len(gauss_fir(_WB_FS)) - 1
+    sps = _wb_sps(spec)
+    return len(spec.phy_bits()) * sps + len(gauss_fir(sps)) - 1

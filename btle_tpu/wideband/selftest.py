@@ -36,7 +36,7 @@ SELFTEST_CHANNELS = (37, 17, 39)
 _N_WB = 280_000  # 3.5 ms of 80 Msps air
 
 
-def _scene():
+def _scene(phy: str = "1m"):
     """Deterministic packets -> (wi, wq, expected {channel: pdu bytes}).
 
     Built through the SHIPPED TX path — descriptor parse ->
@@ -63,9 +63,12 @@ def _scene():
                 f"{ch}-LL_DATA-AA-8E89BED6-LLID-1-NESN-0-SN-0-MD-0"
                 f"-DATA-{bytes(payload).hex()}-CRCInit-555555-Space-1")
     specs, _ = parse_descriptor_sequence(descs)
+    if phy == "2m":
+        specs = [s.to_2m() for s in specs]
     placed = [(s, 12_000 + 80_000 * k) for k, s in enumerate(specs)]
-    expected = {s.channel: np.asarray(B.bits_to_bytes(s.info_bits[40:]),
-                                      np.uint8) for s in specs}
+    expected = {s.channel: np.asarray(
+        B.bits_to_bytes(s.info_bits[s.pdu_start:]), np.uint8)
+        for s in specs}
     # light deterministic noise so bit decisions are not degenerate ties
     wi, wq = scene_to_wideband(placed, _N_WB, noise_std=0.01, seed=0xB7E)
     return wi, wq, expected
@@ -75,7 +78,7 @@ def fused_selftest(compute_dtype: str = "f32", tile: int | None = None,
                    inner: str | None = None, decode: str = "pallas",
                    interpret: bool | None = None, scan_fn=None,
                    max_candidates: int = 8,
-                   pipeline: str = "fused") -> dict[int, int]:
+                   pipeline: str = "fused", phy: str = "1m") -> dict[int, int]:
     """Run the known-answer scene through the scan pipeline and verify.
 
     Arguments mirror `wideband_scan_fused`'s configuration so the test
@@ -98,18 +101,19 @@ def fused_selftest(compute_dtype: str = "f32", tile: int | None = None,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
 
-    wi, wq, expected = _scene()
+    wi, wq, expected = _scene(phy=phy)
     aa, mask, whiten, crc, adv = default_scan_tables()
+    sps = 2 if phy == "2m" else 4   # 4 Msps channels: 2 samples/sym @ 2M
 
     if scan_fn is not None or pipeline == "fused":
         fn = scan_fn or wideband_scan_fused
         out = fn(jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten, crc,
-                 adv, sps=4, lag=4, max_candidates=max_candidates,
+                 adv, sps=sps, lag=sps, max_candidates=max_candidates,
                  compute_dtype=compute_dtype, tile=tile, inner=inner,
                  decode=decode, interpret=interpret)
     elif pipeline == "xla":
         out = wideband_scan(jnp.asarray(wi), jnp.asarray(wq), aa, mask,
-                            whiten, crc, adv, sps=4, lag=4,
+                            whiten, crc, adv, sps=sps, lag=sps,
                             max_candidates=max_candidates)
     else:
         raise ValueError(f"unknown pipeline {pipeline!r}")
@@ -147,6 +151,6 @@ def fused_selftest(compute_dtype: str = "f32", tile: int | None = None,
         raise WidebandSelfTestError(
             f"wideband self-test FAILED (pipeline={pipeline}, "
             f"compute_dtype={compute_dtype}, inner={inner}, tile={tile}, "
-            f"decode={decode}, interpret={interpret}, "
+            f"decode={decode}, interpret={interpret}, phy={phy}, "
             f"backend={jax.default_backend()}): " + "; ".join(failures))
     return positions

@@ -157,6 +157,20 @@ class WidebandConfig:
     # inner, 794 Msps (0.99x target) — see PERF.md's dynamic-range
     # ladder for the full trade.
     fused_dtype: str = "bf16x2w"
+    # LE PHY of the airspace ("1m" | "2m"). 2M rides the SAME 2 MHz
+    # channel grid (BLE 5 keeps the channel plan), so the channelizer is
+    # unchanged and the per-channel 4 Msps stream simply carries 2
+    # samples/symbol (sps=2, symbol lag 2). The prototype passband
+    # truncates the 2M spectrum's edges (~±1.1 MHz signal in a ±1 MHz
+    # channel): byte-exact at clean SNR; measured on the known-answer
+    # scene the 2M floor sits ~2-4 dB above 1M's (1m 21/21 down to 0 dB;
+    # 2m 17/21 at 0 dB, clean from 4 dB) — beyond the LE-1M-only
+    # reference either way.
+    phy: str = "1m"
+
+    def __post_init__(self):
+        if self.phy not in ("1m", "2m"):
+            raise ValueError(f"unknown phy {self.phy!r} (want '1m'|'2m')")
 
 
 @dataclass
@@ -219,7 +233,11 @@ class WidebandSniffer:
         )
         self._cursors = np.zeros(M, dtype=np.int64)   # per-channel span-eating
         self._offset_ch = 0                           # per-channel sample offset
-        self.halo_ch = required_halo(CH_SPS, CH_LAG)
+        # samples per SYMBOL in the 4 Msps channel stream (4 at LE 1M,
+        # 2 at LE 2M); time conversions keep CH_SPS = samples per US
+        self._sps = 2 if cfg.phy == "2m" else CH_SPS
+        self._lag = self._sps                         # symbol-lag decisions
+        self.halo_ch = required_halo(self._sps, self._lag)
         # left context: real history samples fed to the channelizer so
         # packets starting right at a block boundary see no filter warm-up
         self._ctx_len = self.cfg.num_taps - 1
@@ -281,8 +299,9 @@ class WidebandSniffer:
 
         if self.cfg.fused:
             return fused_selftest(compute_dtype=self.cfg.fused_dtype,
-                                  tile=self.cfg.fused_tile)
-        return fused_selftest(pipeline="xla")
+                                  tile=self.cfg.fused_tile,
+                                  phy=self.cfg.phy)
+        return fused_selftest(pipeline="xla", phy=self.cfg.phy)
 
     def process(self, i_wb, q_wb) -> list[WidebandPacket]:
         """Process one wideband block of wb_block_len samples. Successive
@@ -305,7 +324,7 @@ class WidebandSniffer:
             out = wideband_scan_fused(
                 dxi, dxq, self.aa_rows, self.aa_mask,
                 self.whiten_rows, self.crc_inits, self.adv_flags,
-                sps=CH_SPS, lag=CH_LAG,
+                sps=self._sps, lag=self._lag,
                 max_candidates=self.cfg.max_candidates,
                 num_taps=self.cfg.num_taps, has_context=True,
                 tile=self.cfg.fused_tile,
@@ -315,7 +334,7 @@ class WidebandSniffer:
             out = wideband_scan(
                 dxi, dxq, self.aa_rows, self.aa_mask,
                 self.whiten_rows, self.crc_inits, self.adv_flags,
-                sps=CH_SPS, lag=CH_LAG,
+                sps=self._sps, lag=self._lag,
                 max_candidates=self.cfg.max_candidates, num_taps=self.cfg.num_taps,
                 has_context=True,
             )
@@ -339,7 +358,7 @@ class WidebandSniffer:
                     dxi, dxq, jnp.int32(m), self.aa_rows[m], self.aa_mask,
                     self.whiten_rows[m], self.crc_inits[m], self.adv_flags[m],
                     jnp.int32(self._cursors[m] - self._offset_ch),
-                    sps=CH_SPS, lag=CH_LAG,
+                    sps=self._sps, lag=self._lag,
                     max_candidates=self.cfg.max_candidates,
                     num_taps=self.cfg.num_taps, has_context=True,
                 )
@@ -384,7 +403,7 @@ class WidebandSniffer:
             if p >= scan_limit or abs_p < self._cursors[m]:
                 continue
             if adv and not row["len_ok"][k]:
-                self._cursors[m] = abs_p + (32 + 16) * CH_SPS
+                self._cursors[m] = abs_p + (32 + 16) * self._sps
                 continue
             pl = int(row["payload_len"][k])
             pkt = WidebandPacket(
@@ -396,7 +415,7 @@ class WidebandSniffer:
             self._attach_parse(pkt, adv)
             self._maybe_follow(pkt, adv)
             packets.append(pkt)
-            self._cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * CH_SPS
+            self._cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * self._sps
         return int(row["num_hits"]) > len(pos)
 
     def _maybe_follow(self, pkt: WidebandPacket, adv: bool):

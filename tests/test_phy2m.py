@@ -134,6 +134,22 @@ class TestConfigValidation:
         assert SnifferConfig(phy="2m").samples_per_us == 8
 
 
+class TestWideband2m:
+    def test_selftest_xla_2m(self):
+        """The known-answer scene framed for 2M decodes on all three
+        channels through the XLA wideband pipeline at sps=2."""
+        from btle_tpu.wideband.selftest import fused_selftest
+
+        pos = fused_selftest(pipeline="xla", phy="2m")
+        assert set(pos) == {37, 17, 39}
+
+    def test_config_rejects_unknown_phy(self):
+        from btle_tpu.wideband import WidebandConfig
+
+        with pytest.raises(ValueError):
+            WidebandConfig(phy="coded")
+
+
 class TestCli2m:
     def _run(self, *argv):
         return subprocess.run(
@@ -157,10 +173,21 @@ class TestCli2m:
         assert len(pkts) == 1 and pkts[0]["crc_ok"]
         assert pkts[0]["adv_a"] == "01:02:03:04:05:06"
 
-    def test_tx_2m_wideband_out_rejected(self, tmp_path):
+    def test_tx_2m_wideband_roundtrip(self, tmp_path):
+        """Closed 2M wideband loop: `tx --phy 2m --wideband-out` ->
+        `wideband --phy 2m` — the 2M packet rides the same 2 MHz channel
+        grid (40 samples/symbol at 80 Msps) and decodes at sps=2."""
+        wb = tmp_path / "wb2m.bin"
         r = self._run(
             "tx", "37-ADV_IND-TxAdd-1-RxAdd-0-AdvA-010203040506-"
-            "AdvData-0011", "--phy", "2m",
-            "--wideband-out", str(tmp_path / "wb.bin"))
-        assert r.returncode != 0
-        assert "2m" in (r.stderr + r.stdout)
+            "AdvData-00112233-Space-1", "--phy", "2m",
+            "--wideband-out", str(wb))
+        assert r.returncode == 0, r.stderr
+        r = self._run("wideband", "--bin", str(wb), "--format", "f32",
+                      "--phy", "2m")
+        assert r.returncode == 0, r.stderr
+        lines = [ln for ln in r.stdout.splitlines()
+                 if ln.startswith("ch37 ") and " crc0 " in ln]
+        assert lines, r.stdout
+        # AdvA on-air order + the AdvData in the PDU dump
+        assert "06050403020100112233" in lines[0]

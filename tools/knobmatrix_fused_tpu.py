@@ -46,10 +46,13 @@ def config_matrix(full: bool):
 
     cfgs = []
 
-    def add(dtype, inner, tile, decode="pallas", aa_grp=8, expected="pass"):
-        label = f"{dtype}/{inner}/t{tile}/{decode}/grp{aa_grp}"
+    def add(dtype, inner, tile, decode="pallas", aa_grp=8, expected="pass",
+            phy="1m"):
+        label = f"{dtype}/{inner}/t{tile}/{decode}/grp{aa_grp}" + (
+            "" if phy == "1m" else f"/{phy}")
         cfgs.append((label, dict(compute_dtype=dtype, inner=inner, tile=tile,
-                                 decode=decode, aa_grp=aa_grp), expected))
+                                 decode=decode, aa_grp=aa_grp, phy=phy),
+                     expected))
 
     # the two shipped modes (library default + bench mode), both decode
     # paths, plus the known-bad AA_GRP=4 pin on each
@@ -60,6 +63,9 @@ def config_matrix(full: bool):
     add("f32", "poly", t("f32", "poly"), aa_grp=4, expected="known_bad")
     add("bf16x2w", "im2col", t("bf16x2w", "im2col"), aa_grp=4,
         expected="known_bad")
+    # LE 2M wideband (sps=2 per channel) — hardware-validated in round 4
+    add("bf16x2w", "im2col", t("bf16x2w", "im2col"), phy="2m")
+    add("f32", "poly", t("f32", "poly"), phy="2m")
 
     if full:
         # tile one step either side of each shipped default: recorded,
