@@ -82,8 +82,19 @@ class ShardedWidebandScan:
                  access_address_hex: str = "D6BE898E",
                  crc_init_hex: str = "555555",
                  fused: bool = False, fused_tile: int | None = None,
-                 fused_dtype: str = "bf16x2w", fused_interpret: bool = False):
+                 fused_dtype: str = "bf16x2w", fused_interpret: bool = False,
+                 phy: str = "1m"):
         self.mesh = mesh
+        # LE PHY ("1m" | "2m"): BLE 5 keeps the 2 MHz channel grid, so
+        # 2M only changes the per-channel samples/symbol (2) — same as
+        # the single-chip WidebandConfig.phy (hardware-validated by the
+        # 2M known-answer selftest). Time bookkeeping stays CH_SPS
+        # (channel samples per us at 4 Msps).
+        if phy not in ("1m", "2m"):
+            raise ValueError(f"unknown phy {phy!r} (want '1m'|'2m')")
+        self.phy = phy
+        self._sps = 2 if phy == "2m" else CH_SPS
+        self._lag = self._sps
         self.n_ch = mesh.shape["ch"]
         self.n_time = mesh.shape["time"]
         if M % self.n_ch:
@@ -108,7 +119,7 @@ class ShardedWidebandScan:
         self.block_wb = block_wb
         self.num_taps = num_taps
         self.max_candidates = max_candidates
-        self.halo_ch = required_halo(CH_SPS, CH_LAG)
+        self.halo_ch = required_halo(self._sps, self._lag)
         self.halo_wb = self.halo_ch * D + num_taps
 
         # static parameters (replicated)
@@ -190,8 +201,8 @@ class ShardedWidebandScan:
 
                 out = wideband_scan_fused(
                     xi_h, xq_h, aa_rows, aa_mask, whiten, crc_inits,
-                    adv_flags, sps=CH_SPS, lag=CH_LAG, max_candidates=maxc,
-                    num_taps=num_taps, has_context=True,
+                    adv_flags, sps=self._sps, lag=self._lag,
+                    max_candidates=maxc, num_taps=num_taps, has_context=True,
                     tile=self.fused_tile, compute_dtype=self.fused_dtype,
                     interpret=self.fused_interpret)
                 return {k: v[None] for k, v in out.items()}
@@ -248,7 +259,8 @@ class ShardedWidebandScan:
 
             def one(i, q, aab, w, c, a):
                 return decode_block(i, q, aab, aa_mask, w, c, a,
-                                    sps=CH_SPS, lag=CH_LAG, max_candidates=maxc)
+                                    sps=self._sps, lag=self._lag,
+                                    max_candidates=maxc)
 
             out = jax.vmap(one)(my_i, my_q, aa_grp, w_grp, crc_grp, adv_grp)
             # add leading (time=1, ch=chunk) block structure for gathering
@@ -391,7 +403,7 @@ class ShardedWidebandScan:
                     if abs_p < cursors[m]:
                         continue
                     if adv and not len_ok[t, m, k]:
-                        cursors[m] = abs_p + (32 + 16) * CH_SPS
+                        cursors[m] = abs_p + (32 + 16) * self._sps
                         continue
                     pl = int(plen[t, m, k])
                     pkt = WidebandPacket(
@@ -401,7 +413,7 @@ class ShardedWidebandScan:
                     )
                     self._maybe_follow(pkt)
                     packets.append(pkt)
-                    cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * CH_SPS
+                    cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * self._sps
         self._stream_offset_ch += pos.shape[0] * k_per_block
         if self.multi_follower is not None:
             changed = self.multi_follower.on_tick(

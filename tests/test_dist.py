@@ -202,3 +202,40 @@ class TestFusedSharded:
         mesh = make_mesh(2, 4)
         with pytest.raises(ValueError, match="time-parallel"):
             ShardedWidebandScan(mesh, block_wb=20000, fused=True)
+
+
+class TestSharded2m:
+    def test_2m_scene_decodes_across_shards(self, rng):
+        """LE 2M through the sharded scan (phy='2m'): the 2M burst at
+        40 samples/symbol decodes on a (2, 2) mesh exactly like the
+        single-chip wideband --phy 2m path."""
+        from btle_tpu.tx import parse_descriptor
+        from btle_tpu.tx.synth import scene_to_wideband
+
+        specs = []
+        for ch, data in ((37, "00112233"), (17, "a1b2c3")):
+            if ch == 37:
+                d = (f"{ch}-ADV_NONCONN_IND-TxAdd-0-RxAdd-0-AdvA-"
+                     f"0102030405{ch:02x}-AdvData-{data}")
+            else:
+                d = (f"{ch}-LL_DATA-AA-8E89BED6-LLID-1-NESN-0-SN-0-MD-0"
+                     f"-DATA-{data}-CRCInit-555555")
+            specs.append(parse_descriptor(d).to_2m())
+        placed = [(s, 30_000 + 170_000 * k) for k, s in enumerate(specs)]
+        n = 400_000
+        wi, wq = scene_to_wideband(placed, n, noise_std=0.01, seed=3)
+
+        mesh = make_mesh(2, 2)
+        scan = ShardedWidebandScan(mesh, block_wb=n // 2, phy="2m")
+        pkts = scan.gather_packets(scan(wi, wq))
+        got = _key(pkts)
+        want = sorted(
+            (s.channel,
+             bytes(B.bits_to_bytes(s.info_bits[s.pdu_start:])).hex())
+            for s in specs)
+        assert got == want, (got, want)
+
+    def test_unknown_phy_rejected(self):
+        mesh = make_mesh(1, 2)
+        with pytest.raises(ValueError):
+            ShardedWidebandScan(mesh, block_wb=20000, phy="2M")
