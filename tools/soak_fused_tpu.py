@@ -11,7 +11,8 @@ sustained decode correctness under production traffic density (the
 reference's analog is its live phone-in-the-room test, README.md:33-55).
 
 Usage:  python tools/soak_fused_tpu.py [--seconds 0.25] [--packets 150]
-        [--dtype bf16x2w|f32|xla] [--seed 0]
+        [--dtype bf16x2w|f32|xla] [--phy 1m|2m] [--seed 0]
+        [--connections N [--map-updates]]
 
 Exit code 0 = every packet decoded byte-exactly; 1 otherwise.
 """
@@ -31,6 +32,10 @@ def main():
     ap.add_argument("--seconds", type=float, default=0.25,
                     help="airspace duration (80 Msps wideband)")
     ap.add_argument("--packets", type=int, default=150)
+    ap.add_argument("--phy", default="1m", choices=["1m", "2m"],
+                    help="frame + scan the whole scene for this LE PHY "
+                         "(2m: 16-bit preambles, 40 samples/symbol "
+                         "bursts, sps=2 scan — beyond the reference)")
     ap.add_argument("--dtype", default="bf16x2w",
                     choices=["bf16x2w", "f32", "xla"])
     ap.add_argument("--seed", type=int, default=0)
@@ -148,10 +153,12 @@ def main():
                     f"-Space-1")
                 times_us.append(t_us)
             specs, _ = parse_descriptor_sequence(descs)
+            if args.phy == "2m":
+                specs = [s.to_2m() for s in specs]
             for spec, t_us in zip(specs, times_us):
                 placed_specs.append((spec, t_us * 80))
-                injected.append((spec.channel, t_us * 80,
-                                 bytes(B.bits_to_bytes(spec.info_bits[40:]))))
+                injected.append((spec.channel, t_us * 80, bytes(
+                    B.bits_to_bytes(spec.info_bits[spec.pdu_start:]))))
 
     placed = 0
     attempts = 0
@@ -170,6 +177,8 @@ def main():
             desc = (f"{ch}-LL_DATA-AA-8E89BED6-LLID-1-NESN-0-SN-0-MD-0"
                     f"-DATA-{bytes(payload).hex()}-CRCInit-555555-Space-1")
         (spec,), _ = parse_descriptor_sequence([desc])
+        if args.phy == "2m":
+            spec = spec.to_2m()
         span_wb = burst_num_samples(spec) + 80_000
         off = int(rng.integers(0, max(1, n_wb - span_wb)))
         lo = per_ch_next.get(ch, 0)
@@ -181,8 +190,8 @@ def main():
             continue
         per_ch_next[ch] = off + span_wb
         placed_specs.append((spec, off))
-        injected.append((ch, off,
-                         bytes(B.bits_to_bytes(spec.info_bits[40:]))))
+        injected.append((ch, off, bytes(
+            B.bits_to_bytes(spec.info_bits[spec.pdu_start:]))))
         placed += 1
     # light noise floor so ties are not degenerate zeros
     wi, wq = scene_to_wideband(placed_specs, n_wb, noise_std=0.01,
@@ -196,7 +205,7 @@ def main():
           + f" over {n_wb / 80e6:.3f}s of airspace "
           f"({time.time()-t0:.1f}s)", flush=True)
 
-    cfg = WidebandConfig(fused=args.dtype != "xla",
+    cfg = WidebandConfig(phy=args.phy, fused=args.dtype != "xla",
                          fused_dtype=args.dtype if args.dtype != "xla" else "f32",
                          follow_connections=args.connections > 0,
                          max_follow=max(1, args.connections),
