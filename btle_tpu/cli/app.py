@@ -180,6 +180,7 @@ def cmd_wideband(args):
                          max_follow=args.max_follow, fused=args.fused,
                          fused_dtype=args.fused_dtype,
                          phy=getattr(args, "phy", "1m"))
+    sn = WidebandSniffer(cfg)
     selftest = args.selftest
     if selftest is None:
         # auto: the fused kernels on a real accelerator are gated by the
@@ -192,17 +193,11 @@ def cmd_wideband(args):
         # known-answer test ON THIS BACKEND, of EXACTLY the pipeline and
         # kernel configuration the scan below will deploy, before
         # committing to a capture run (a miscompiled kernel can run fine
-        # and decode nothing — see wideband/selftest.py)
-        from ..wideband.selftest import fused_selftest
-
-        if cfg.fused:
-            positions = fused_selftest(compute_dtype=cfg.fused_dtype,
-                                       tile=cfg.fused_tile, phy=cfg.phy)
-            mode = f"fused {cfg.fused_dtype}"
-        else:
-            positions = fused_selftest(pipeline="xla", phy=cfg.phy)
-            mode = "xla"
-        mode += "" if cfg.phy == "1m" else f" {cfg.phy}"
+        # and decode nothing — see wideband/selftest.py; sn.selftest()
+        # threads every deployed knob so the CLI cannot drift from it)
+        positions = sn.selftest()
+        mode = (f"fused {cfg.fused_dtype}" if cfg.fused else "xla") + (
+            "" if cfg.phy == "1m" else f" {cfg.phy}")
         print(f"# self-test OK ({mode}): decoded "
               f"{sorted(positions)} at {positions}", file=sys.stderr)
 
@@ -210,7 +205,6 @@ def cmd_wideband(args):
                                         "f32": np.float32}[args.format])
     i_wb = data[0::2].astype(np.float32)
     q_wb = data[1::2].astype(np.float32)
-    sn = WidebandSniffer(cfg)
     pkts = sn.run(i_wb, q_wb)
     pcap = PcapWriter(args.pcap) if args.pcap else None
     for p in pkts:
@@ -351,22 +345,13 @@ def cmd_iq_show(args):
     """Capture inspection without decoding — the reference's
     test_rx_iq_show.py / water_fall.m workflow (SURVEY §2.4 IQ
     inspection utilities) for every wire format the CLI reads."""
-    from ..stream.sources import ila_csv_source, iq_file_source
+    from ..stream.sources import load_iq_capped
     from ..utils.spectrum import occupancy, waterfall
 
-    src = (ila_csv_source(args.bin) if args.format == "csv"
-           else iq_file_source(args.bin, args.format))
-    chunks_i, chunks_q, total = [], [], 0
-    for ci, cq in src:
-        chunks_i.append(ci)
-        chunks_q.append(cq)
-        total += len(ci)
-        if total >= args.max_samples:
-            break
-    if not chunks_i:
-        raise SystemExit(f"iq-show: no samples in {args.bin}")
-    i = np.concatenate(chunks_i)[: args.max_samples]
-    q = np.concatenate(chunks_q)[: args.max_samples]
+    try:
+        i, q = load_iq_capped(args.bin, args.format, args.max_samples)
+    except ValueError as e:
+        raise SystemExit(f"iq-show: {e}")
     win = args.win or args.fft
     hop = args.hop or win
     power = waterfall(i, q, fft_size=args.fft, win_len=win, hop=hop)

@@ -96,25 +96,13 @@ def ble_iq_occupancy(iq_file: str, fmt: str = "i16",
     frequency offsets carry energy, how strong, what duty cycle (the
     waterfall view of `iq-show`, machine-readable). Beyond the
     reference's 5-tool surface — its waterfall exists only as a plot."""
-    import numpy as np
-
-    from ..stream.sources import ila_csv_source, iq_file_source
+    from ..stream.sources import load_iq_capped
     from ..utils.spectrum import occupancy, waterfall
 
-    src = (ila_csv_source(iq_file) if fmt == "csv"
-           else iq_file_source(iq_file, fmt))
-    ci, cq, total = [], [], 0
-    for bi, bq in src:
-        ci.append(bi)
-        cq.append(bq)
-        total += len(bi)
-        if total >= max_samples:
-            break
-    i = np.concatenate(ci)[:max_samples]
-    q = np.concatenate(cq)[:max_samples]
+    i, q = load_iq_capped(iq_file, fmt, max_samples)
     power = waterfall(i, q, fft_size=fft_size)
     occ = occupancy(power, rate_hz, threshold_db=threshold_db)
-    if center_hz:
+    if center_hz is not None:
         for row in occ:
             row["freq_hz"] = center_hz + row["freq_offset_hz"]
     return {

@@ -336,25 +336,15 @@ class SpectrumScreen(Screen):
     def _load(self):
         import numpy as np
 
-        from ..stream.sources import ila_csv_source, iq_file_source
+        from ..stream.sources import load_iq_capped
         from ..utils.spectrum import waterfall
 
         if not self.app.iq_path:
             self.error = "no IQ source attached (event-stream-only tui)"
             return
         try:
-            src = (ila_csv_source(self.app.iq_path)
-                   if self.app.iq_format == "csv"
-                   else iq_file_source(self.app.iq_path, self.app.iq_format))
-            ci, cq, total = [], [], 0
-            for bi, bq in src:
-                ci.append(bi)
-                cq.append(bq)
-                total += len(bi)
-                if total >= self.MAX_SAMPLES:
-                    break
-            i = np.concatenate(ci)[: self.MAX_SAMPLES]
-            q = np.concatenate(cq)[: self.MAX_SAMPLES]
+            i, q = load_iq_capped(self.app.iq_path, self.app.iq_format,
+                                  self.MAX_SAMPLES)
             power = waterfall(i, q, fft_size=128)
             mean = power.mean(axis=1)
             self.db = 10.0 * np.log10(np.maximum(mean, 1e-30))

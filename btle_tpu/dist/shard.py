@@ -90,10 +90,10 @@ class ShardedWidebandScan:
         # the single-chip WidebandConfig.phy (hardware-validated by the
         # 2M known-answer selftest). Time bookkeeping stays CH_SPS
         # (channel samples per us at 4 Msps).
-        if phy not in ("1m", "2m"):
-            raise ValueError(f"unknown phy {phy!r} (want '1m'|'2m')")
+        from ..wideband.sniffer import ch_sps_for_phy
+
         self.phy = phy
-        self._sps = 2 if phy == "2m" else CH_SPS
+        self._sps = ch_sps_for_phy(phy)
         self._lag = self._sps
         self.n_ch = mesh.shape["ch"]
         self.n_time = mesh.shape["time"]

@@ -99,3 +99,26 @@ def ila_csv_source(path: str, col_i: int = 9, col_q: int = 11,
                 buf_i, buf_q = [], []
     if buf_i:
         yield (np.asarray(buf_i, np.int16), np.asarray(buf_q, np.int16))
+
+
+def load_iq_capped(path: str, fmt: str = "i16",
+                   max_samples: int = 4_000_000
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Read up to ``max_samples`` IQ pairs of a capture into memory —
+    the shared loader behind the inspection surfaces (CLI iq-show, MCP
+    ble_iq_occupancy, the TUI spectrum screen). fmt 'csv' reads Vivado
+    ILA exports; others match iq_file_source. Raises ValueError on an
+    empty capture so callers surface a clear message."""
+    src = (ila_csv_source(path) if fmt == "csv"
+           else iq_file_source(path, fmt))
+    chunks_i, chunks_q, total = [], [], 0
+    for ci, cq in src:
+        chunks_i.append(ci)
+        chunks_q.append(cq)
+        total += len(ci)
+        if total >= max_samples:
+            break
+    if not chunks_i:
+        raise ValueError(f"no IQ samples in {path}")
+    return (np.concatenate(chunks_i)[:max_samples],
+            np.concatenate(chunks_q)[:max_samples])

@@ -101,9 +101,11 @@ def fused_selftest(compute_dtype: str = "f32", tile: int | None = None,
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
 
+    from .sniffer import ch_sps_for_phy
+
     wi, wq, expected = _scene(phy=phy)
     aa, mask, whiten, crc, adv = default_scan_tables()
-    sps = 2 if phy == "2m" else 4   # 4 Msps channels: 2 samples/sym @ 2M
+    sps = ch_sps_for_phy(phy)   # 4 Msps channels: 2 samples/sym @ 2M
 
     if scan_fn is not None or pipeline == "fused":
         fn = scan_fn or wideband_scan_fused

@@ -32,6 +32,16 @@ CH_SPS = 4  # channelizer output is 4 Msps = 4 samples/symbol
 CH_LAG = 4
 
 
+def ch_sps_for_phy(phy: str) -> int:
+    """Samples per SYMBOL in the 4 Msps channelizer output for an LE
+    PHY — 4 at 1M, 2 at 2M (BLE 5 keeps the 2 MHz channel grid, so only
+    the symbol rate changes). Owns the phy validation for every wideband
+    surface (WidebandConfig, ShardedWidebandScan, selftest)."""
+    if phy not in ("1m", "2m"):
+        raise ValueError(f"unknown phy {phy!r} (want '1m'|'2m')")
+    return 2 if phy == "2m" else CH_SPS
+
+
 @partial(jax.jit, static_argnames=("sps", "lag", "max_candidates"))
 def decode_channels(i_ch, q_ch, aa_rows, aa_mask, whiten_rows, crc_inits,
                     adv_flags, sps: int, lag: int, max_candidates: int = 8):
@@ -169,8 +179,7 @@ class WidebandConfig:
     phy: str = "1m"
 
     def __post_init__(self):
-        if self.phy not in ("1m", "2m"):
-            raise ValueError(f"unknown phy {self.phy!r} (want '1m'|'2m')")
+        ch_sps_for_phy(self.phy)   # validates
 
 
 @dataclass
@@ -235,7 +244,7 @@ class WidebandSniffer:
         self._offset_ch = 0                           # per-channel sample offset
         # samples per SYMBOL in the 4 Msps channel stream (4 at LE 1M,
         # 2 at LE 2M); time conversions keep CH_SPS = samples per US
-        self._sps = 2 if cfg.phy == "2m" else CH_SPS
+        self._sps = ch_sps_for_phy(cfg.phy)
         self._lag = self._sps                         # symbol-lag decisions
         self.halo_ch = required_halo(self._sps, self._lag)
         # left context: real history samples fed to the channelizer so
