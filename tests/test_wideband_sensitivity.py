@@ -52,3 +52,34 @@ def test_wideband_packets_at_anchor_snr():
                 break
     # reference anchor: ~0.1% BER at 11 dB -> essentially every packet decodes
     assert n_ok >= trials - 2, f"{n_ok}/{trials} packets at anchor SNR"
+
+
+def test_wideband_2m_floor_within_4db_of_1m():
+    """Pin of the measured LE-2M wideband floor (PERF.md round 4): the
+    known-answer scene framed for 2M decodes every packet with AWGN at
+    4 dB int8-peak SNR despite the channel filter truncating the ~2.2
+    MHz-wide 2M spectrum (1M is clean down to 0 dB; 2M loses packets
+    there)."""
+    from btle_tpu.wideband.selftest import _scene
+    from btle_tpu.wideband.sniffer import default_scan_tables, wideband_scan
+
+    aa, mask, whiten, crc, adv = default_scan_tables()
+    wi0, wq0, expected = _scene(phy="2m")
+    rng = np.random.default_rng(11)
+    std = 127.0 * 10 ** (-4.0 / 20.0)
+    ok = tot = 0
+    for _ in range(3):
+        wi = wi0 + rng.normal(0, std, len(wi0)).astype(np.float32)
+        wq = wq0 + rng.normal(0, std, len(wq0)).astype(np.float32)
+        out = wideband_scan(jnp.asarray(wi), jnp.asarray(wq), aa, mask,
+                            whiten, crc, adv, sps=2, lag=2,
+                            max_candidates=8)
+        crc_ok = np.asarray(out["crc_ok"])
+        pdu = np.asarray(out["pdu_bytes"])
+        for ch, exp in expected.items():
+            m = channel_to_bin(ch)
+            tot += 1
+            ok += any(np.array_equal(pdu[m, k, : len(exp)].astype(np.uint8),
+                                     exp)
+                      for k in np.flatnonzero(crc_ok[m]))
+    assert ok == tot, f"{ok}/{tot} 2M packets at 4 dB"
