@@ -134,6 +134,45 @@ class TestConfigValidation:
         assert SnifferConfig(phy="2m").samples_per_us == 8
 
 
+class TestHopFollow2m:
+    def test_2m_connection_follow_two_hops(self, rng):
+        """Hop following on LE 2M: the interval clock (16 * 1250 us)
+        must pace correctly at 8 samples/us — a CONNECT_REQ then data
+        packets on the first two dwell channels (9 -> 18 with hop=9),
+        all framed and decoded at 2M."""
+        from btle_tpu.stream import Sniffer, SnifferConfig
+        from btle_tpu.stream.sources import array_source
+        from test_hop import (CONN_AA_HEX, CRC_INIT_HEX, connect_req_pdu,
+                              data_pdu, place)
+
+        sps = 4                      # 8 Msps wire at 2 Msym/s
+        n = 240_000
+        i = np.zeros(n, np.int16)
+        q = np.zeros(n, np.int16)
+        ci, cq, _ = G.btle_tx(connect_req_pdu(), 37, sps=sps, phy="2m")
+        place(i, q, 20_000, ci, cq)            # t = 2500 us
+        d1 = data_pdu(rng)
+        ci, cq, _ = G.btle_tx(d1, 9, crc_init_hex=CRC_INIT_HEX,
+                              access_address_hex=CONN_AA_HEX, sps=sps,
+                              phy="2m")
+        place(i, q, 72_000, ci, cq)            # t = 9000 us, dwell 1
+        d2 = data_pdu(rng)
+        ci, cq, _ = G.btle_tx(d2, 18, crc_init_hex=CRC_INIT_HEX,
+                              access_address_hex=CONN_AA_HEX, sps=sps,
+                              phy="2m")
+        place(i, q, 192_000, ci, cq)           # t = 24000 us, post-hop
+        sn = Sniffer(SnifferConfig(channel=37, sps=sps, hop=True,
+                                   phy="2m"), quiet_text=True)
+        events = sn.run(array_source(i, q))
+        ok = [e for e in events if e.crc_ok]
+        assert [e.channel for e in ok] == [37, 9, 18]
+        np.testing.assert_array_equal(
+            np.frombuffer(ok[2].payload_bytes, np.uint8),
+            B.bits_to_bytes(d2)[2:])
+        t = sn.hop_tracker
+        assert t.hop == 9 and t.interval_us == 16 * 1250
+
+
 class TestWideband2m:
     def test_selftest_xla_2m(self):
         """The known-answer scene framed for 2M decodes on all three
