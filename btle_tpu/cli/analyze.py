@@ -223,7 +223,7 @@ def waterfall_figure(i, q, fs_hz: float, center_hz: float | None = None,
         power = waterfall(i, q, fft_size=fft_size, win_len=win_len, hop=hop)
     wl = win_len or fft_size
     t0, t1, f_lo, f_hi = waterfall_extent(len(i), fs_hz, wl, hop or wl)
-    if center_hz:
+    if center_hz is not None:
         f_lo, f_hi = f_lo + center_hz, f_hi + center_hz
     db = 10.0 * np.log10(np.maximum(power, 1e-30))
     vmin, vmax = np.percentile(db, [0.1, 99.9])
@@ -233,7 +233,8 @@ def waterfall_figure(i, q, fs_hz: float, center_hz: float | None = None,
                    vmin=vmin, vmax=max(vmax, vmin + 1.0))
     fig.colorbar(im, ax=ax, label="power (dB)")
     ax.set_xlabel("time (us)")
-    ax.set_ylabel("freq (Hz)" if center_hz else "freq offset (Hz)")
+    ax.set_ylabel("freq (Hz)" if center_hz is not None
+                  else "freq offset (Hz)")
     ax.set_title(f"waterfall ({len(i)} samples @ {fs_hz/1e6:g} Msps, "
                  f"fft {fft_size})")
     fig.tight_layout()

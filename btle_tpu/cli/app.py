@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import time
 
 import numpy as np
 
@@ -201,26 +202,39 @@ def cmd_wideband(args):
         print(f"# self-test OK ({mode}): decoded "
               f"{sorted(positions)} at {positions}", file=sys.stderr)
 
-    data = np.fromfile(args.bin, dtype={"i8": np.int8, "i16": np.int16,
-                                        "f32": np.float32}[args.format])
-    i_wb = data[0::2].astype(np.float32)
-    q_wb = data[1::2].astype(np.float32)
-    pkts = sn.run(i_wb, q_wb)
+    from ..stream import NdjsonEmitter
+    from ..wideband.stream import WidebandStreamRunner
+
+    # --json owns stdout (one event per line, schema v1 — the same ABI
+    # the narrowband decode/scan emit, so aggregate/recon/TUI consume a
+    # wideband stream unchanged); the historical text lines move behind
+    # it. pcap composes with either.
+    ndjson = NdjsonEmitter() if args.json else None
     pcap = PcapWriter(args.pcap) if args.pcap else None
-    for p in pkts:
-        line = (f"ch{p.channel:02d} pos{p.sample_pos} crc{'0' if p.crc_ok else '1'} "
-                f"plen{p.payload_len} " + bytes(p.pdu_bytes).hex())
-        print(line)
-        if pcap and p.crc_ok:
-            # the PHDR carries the AA that actually keyed the channel at
-            # decode time (under --max-follow different data channels
-            # carry different connections' AAs)
-            pcap.write_packet(bytes(p.pdu_bytes), p.channel, p.access_addr)
+    runner = WidebandStreamRunner(
+        sn, ndjson=ndjson, pcap=pcap,
+        text_fh=None if args.json else sys.stdout)
+    runner.start()
+    if args.live:
+        _wideband_live(args, runner)
+        pkts = None
+    else:
+        if not args.bin:
+            raise SystemExit("wideband: --bin FILE or --live --udp PORT")
+        data = np.fromfile(args.bin, dtype={"i8": np.int8, "i16": np.int16,
+                                            "f32": np.float32}[args.format])
+        i_wb = data[0::2].astype(np.float32)
+        q_wb = data[1::2].astype(np.float32)
+        pkts = runner.run_capture(i_wb, q_wb)
+    runner.stop()
     if pcap:
         pcap.close()
-    ok = sum(1 for p in pkts if p.crc_ok)
-    print(f"# {len(pkts)} packets ({ok} CRC OK) across "
-          f"{len({p.channel for p in pkts})} channels", file=sys.stderr)
+    st = runner.stats
+    print(f"# {st.packets} packets ({st.crc_ok} CRC OK) in {st.blocks} "
+          f"blocks; {st.samples_wb/1e6:.1f} Ms consumed in {st.wall_s:.2f} s "
+          f"({st.msps:.0f} Msps)"
+          + (f"; {st.dropped_pairs} ring drops" if args.live else ""),
+          file=sys.stderr)
     follow_events = (sn.multi_follower.events if sn.multi_follower is not None
                      else sn.hop_tracker.events if sn.hop_tracker is not None
                      else [])
@@ -234,6 +248,57 @@ def cmd_wideband(args):
               f"crcInit {c.crc_init:06x} hop {c.hop} interval {c.interval}",
               file=sys.stderr)
     return 0
+
+
+def _wideband_live(args, runner):
+    """Unbounded live ingest: UDP datagrams -> native SPSC ring ->
+    overlap-save wideband blocks, the reference's main receive loop
+    (btle_rx.c:2610-2676) scaled to all 40 channels at once."""
+    import signal
+
+    from .. import runtime
+
+    if not runtime.available():
+        raise SystemExit("wideband --live needs the native runtime "
+                         "(g++ build failed?)")
+    sn = runner.sn
+    # ring capacity: >= 8 blocks of territory+halo so a slow consumer
+    # degrades to drops (counted + reported), never to blocking the
+    # producer thread
+    need = 8 * (sn.wb_block_len)
+    cap = 1 << max(22, (need - 1).bit_length())
+    ring = runtime.IqRingBuffer(cap)
+    ingest = runtime.UdpIngest(ring, args.udp, fmt=args.format)
+    control = None
+    if args.control_port:
+        from ..stream.control import ControlServer
+
+        control = ControlServer(args.control_port)
+    stop_flag = {"stop": False}
+
+    def on_sigint(sig, frame):
+        stop_flag["stop"] = True
+
+    prev = signal.signal(signal.SIGINT, on_sigint)
+    deadline = (time.monotonic() + args.seconds) if args.seconds else None
+
+    def should_stop():
+        return stop_flag["stop"] or (
+            deadline is not None and time.monotonic() >= deadline)
+
+    print(f"# live: UDP port {args.udp} fmt {args.format} "
+          f"block {sn.cfg.scan_len_ch} ch-samples "
+          f"(~{sn.cfg.scan_len_ch/4000:.1f} ms air) pipeline depth "
+          f"{args.pipeline}", file=sys.stderr)
+    try:
+        runner.run_live(ring, should_stop=should_stop,
+                        pipeline=args.pipeline, control=control)
+    finally:
+        signal.signal(signal.SIGINT, prev)
+        ingest.stop()
+        if control is not None:
+            control.close()
+        ring.close()
 
 
 def cmd_tx(args):
@@ -363,7 +428,7 @@ def cmd_iq_show(args):
         print(f"# no bins above the noise floor + {args.threshold_db:g} dB")
     for row in occ[:16]:
         f_abs = (f", {(args.center + row['freq_offset_hz'])/1e6:.1f} MHz"
-                 if args.center else "")
+                 if args.center is not None else "")
         print(f"offset {row['freq_offset_hz']/1e3:+9.1f} kHz{f_abs}  "
               f"peak {row['peak_db']:5.1f} dB  duty {row['duty']:.3f}")
     if len(occ) > 16:
@@ -480,9 +545,31 @@ def build_parser():
     p.set_defaults(fn=cmd_scan)
 
     p = sub.add_parser("wideband", help="40-channel wideband sniff (80 Msps capture)")
-    p.add_argument("--bin", required=True)
+    p.add_argument("--bin", default=None,
+                   help="interleaved-IQ capture file (finite mode)")
     p.add_argument("--format", default="f32", choices=["i8", "i16", "f32"])
     p.add_argument("--pcap", default=None)
+    p.add_argument("--json", action="store_true",
+                   help="emit NDJSON schema-v1 pkt/hop/status events on "
+                        "stdout (the same ABI as decode/scan --json; "
+                        "follow events become hop events, candidate-slot "
+                        "rescans become status events)")
+    p.add_argument("--live", action="store_true",
+                   help="unbounded live mode: ingest UDP datagrams into "
+                        "the native SPSC ring and scan forever (Ctrl-C "
+                        "or --seconds to stop)")
+    p.add_argument("--udp", type=int, default=9999, metavar="PORT",
+                   help="UDP port for --live sample ingest")
+    p.add_argument("--seconds", type=float, default=None,
+                   help="stop --live after this many seconds")
+    p.add_argument("--pipeline", type=int, default=2, metavar="DEPTH",
+                   help="scans kept in flight in --live mode (the host "
+                        "result fetch hides behind the next block's "
+                        "device compute; follow re-keying lags DEPTH-1 "
+                        "blocks)")
+    p.add_argument("--control-port", type=int, default=None, metavar="PORT",
+                   help="listen for ble_send_cmd register writes and "
+                        "apply them between blocks (--live)")
     p.add_argument("--follow", action="store_true",
                    help="follow CONNECT_REQs onto the data channels")
     p.add_argument("--max-follow", type=int, default=1, metavar="N",

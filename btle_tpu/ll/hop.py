@@ -43,7 +43,12 @@ class ConnectionInfo:
 
 @dataclass
 class HopEvent:
-    event: str             # "track_start" | "chan_change" | "track_drop"
+    # "track_start" | "chan_change" | "track_drop" | "chm_update" |
+    # "conn_update" — the last two are emitted when a live
+    # LL_CHANNEL_MAP_REQ / LL_CONNECTION_UPDATE_REQ reaches its instant
+    # (_apply_pending). The set is additive: NDJSON consumers must
+    # ignore unknown values (cli/aggregate.py does).
+    event: str
     state_from: int
     state_to: int
     channel: int

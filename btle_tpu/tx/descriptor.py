@@ -115,8 +115,17 @@ class PacketSpec:
         the C tool is LE-1M only). The 16-symbol preamble is the 1M
         preamble byte's alternation extended, i.e. the byte repeated —
         everything after the preamble is identical."""
-        if self.phy == "2m" or self.raw_phy_bits is not None:
-            return replace(self, phy="2m")
+        if self.raw_phy_bits is not None and self.phy != "2m":
+            # a RAW packet's bits are final on-air bits — there is no
+            # preamble to extend; flipping phy alone would shift
+            # pdu_start to 48 and mis-slice info_bits consumers. RAW 2M
+            # packets must be constructed with phy="2m" and bits that
+            # already carry the 16-bit preamble.
+            raise ValueError(
+                "cannot reframe a raw_phy_bits packet for 2M; construct "
+                "it with phy='2m' (bits must include the 16-bit preamble)")
+        if self.phy == "2m":
+            return self
         return replace(self, phy="2m", info_bits=np.concatenate(
             [self.info_bits[:8], self.info_bits]))
 

@@ -74,6 +74,16 @@ def plan_to_stream(packets: list[SynthesizedPacket], sps: int = 4,
     samples for a given sps."""
     if num_repeat < 0:
         raise ValueError("infinite repeat cannot be materialized")
+    phys = {p.spec.phy for p in packets}
+    if len(phys) > 1:
+        # one stream has ONE sample rate; a 1M/2M mix would concatenate
+        # waveforms synthesized at different rates and mis-scale every
+        # Space gap after the first PHY switch
+        raise ValueError(f"plan mixes PHYs {sorted(phys)}; one stream "
+                         "carries one sample rate — split the plan per PHY")
+    if phys and sym_rate_msym != (2 if phys == {"2m"} else 1):
+        raise ValueError(f"sym_rate_msym={sym_rate_msym} does not match "
+                         f"the plan's PHY {phys.pop()!r}")
     segs_i, segs_q = [], []
     for _ in range(num_repeat):
         for p in packets:

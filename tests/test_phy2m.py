@@ -73,6 +73,26 @@ class TestFraming:
         # idempotent
         assert s2.to_2m().num_info_bits == s2.num_info_bits
 
+    def test_to_2m_rejects_raw(self):
+        # RAW bits are final on-air bits: no preamble to extend, and
+        # flipping phy alone would shift pdu_start under consumers
+        raw = parse_descriptor("37-RAW-aaaaaaaa")
+        with pytest.raises(ValueError, match="raw_phy_bits"):
+            raw.to_2m()
+
+    def test_plan_to_stream_rejects_mixed_phy(self):
+        from btle_tpu.tx.synth import synthesize
+
+        spec = parse_descriptor(
+            "37-ADV_IND-TxAdd-1-RxAdd-0-AdvA-010203040506-AdvData-0011")
+        pkts = synthesize([spec], flavor="c", sps=4) \
+            + synthesize([spec.to_2m()], flavor="c", sps=4)
+        with pytest.raises(ValueError, match="mixes PHYs"):
+            plan_to_stream(pkts, sps=4)
+        # and a right-phy plan with the wrong declared symbol rate
+        with pytest.raises(ValueError, match="sym_rate"):
+            plan_to_stream(pkts[1:], sps=4, sym_rate_msym=1)
+
 
 class TestLoopback:
     def test_golden_2m_loopback(self):
