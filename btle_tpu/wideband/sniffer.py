@@ -316,6 +316,20 @@ class WidebandSniffer:
         """Process one wideband block of wb_block_len samples. Successive
         calls must overlap by halo_ch*D wideband samples (the stream
         helper below handles this); filter history is carried internally."""
+        return self.consume_scan(self.scan_async(i_wb, q_wb))
+
+    def scan_async(self, i_wb, q_wb):
+        """Dispatch the device scan of one block WITHOUT fetching results.
+
+        Returns an opaque handle for consume_scan(). Splitting the two
+        lets a live loop pipeline: dispatch block k, then consume block
+        k-1 while k computes — the host result fetch (the dominant
+        per-block cost through a remote device link) hides behind the
+        next block's device time. Handles MUST be consumed in dispatch
+        order (the span-eating cursors advance per block); follow
+        re-keying then lags the pipeline depth, the same latency class
+        as the reference's serial half-buffer loop (btle_rx.c:531-540).
+        """
         i_wb = np.asarray(i_wb, np.float32)
         q_wb = np.asarray(q_wb, np.float32)
         xi = np.concatenate([self._ctx_i, i_wb])
@@ -347,10 +361,17 @@ class WidebandSniffer:
                 max_candidates=self.cfg.max_candidates, num_taps=self.cfg.num_taps,
                 has_context=True,
             )
-        out = {k: np.asarray(v) for k, v in out.items()}
         # snapshot the keys THIS scan used (follow handling may re-key
-        # self.aa_rows mid-consume for the next block)
-        self._aa_np = np.asarray(self.aa_rows)
+        # self.aa_rows for later blocks while this one is in flight)
+        return {"out": out, "dxi": dxi, "dxq": dxq,
+                "aa_np": np.asarray(self.aa_rows),
+                "aa_rows": self.aa_rows, "crc_inits": self.crc_inits}
+
+    def consume_scan(self, handle) -> list[WidebandPacket]:
+        """Fetch + walk one scan_async() handle (in dispatch order)."""
+        out = {k: np.asarray(v) for k, v in handle["out"].items()}
+        dxi, dxq = handle["dxi"], handle["dxq"]
+        self._aa_np = handle["aa_np"]
 
         packets: list[WidebandPacket] = []
         scan_limit = self.cfg.scan_len_ch
@@ -364,8 +385,10 @@ class WidebandSniffer:
                 before = self._cursors[m]
                 self.truncated_channels += 1
                 more = rescan_channel(
-                    dxi, dxq, jnp.int32(m), self.aa_rows[m], self.aa_mask,
-                    self.whiten_rows[m], self.crc_inits[m], self.adv_flags[m],
+                    dxi, dxq, jnp.int32(m),
+                    handle["aa_rows"][m], self.aa_mask,
+                    self.whiten_rows[m], handle["crc_inits"][m],
+                    self.adv_flags[m],
                     jnp.int32(self._cursors[m] - self._offset_ch),
                     sps=self._sps, lag=self._lag,
                     max_candidates=self.cfg.max_candidates,
