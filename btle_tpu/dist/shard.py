@@ -151,9 +151,16 @@ class ShardedWidebandScan:
         self.connection = None
         self._stream_offset_ch = 0  # per-channel samples consumed so far
         # (time, channel) cells whose AA hits exceeded the candidate
-        # slots — later packets in that cell were not decoded; raise
-        # max_candidates if this is ever nonzero under real traffic
+        # slots; gather_packets RECOVERS them by rescanning the retained
+        # wideband input from the consumed cursor (single-device
+        # sniffer semantics) — the counter records rescans performed,
+        # and on_truncate (if set) is called per overflow event
         self.truncated_cells = 0
+        self.on_truncate = None      # callable(t, m, num_hits) | None
+        ctx = num_taps - 1
+        self._ctx_tail = (jnp.zeros(ctx, jnp.float32),
+                          jnp.zeros(ctx, jnp.float32))
+        self._rescan_src = None
 
     # ------------------------------------------------------------------
     def _build(self):
@@ -297,6 +304,15 @@ class ShardedWidebandScan:
         sh = NamedSharding(self.mesh, P("time"))
         xi = jax.device_put(jnp.asarray(i_wb, jnp.float32), sh)
         xq = jax.device_put(jnp.asarray(q_wb, jnp.float32), sh)
+        # retain the super-block (plus the tail of the previous one as
+        # left filter context) so gather_packets can rescan a channel
+        # whose AA hits exceeded the candidate slots — the sharded
+        # analog of the single-device sniffer's slot-exhaustion rescan
+        ctx = self.num_taps - 1
+        prev_i, prev_q = self._ctx_tail
+        self._rescan_src = (jnp.concatenate([prev_i, xi]),
+                            jnp.concatenate([prev_q, xq]))
+        self._ctx_tail = (xi[-ctx:], xq[-ctx:])
         return self.run_placed(xi, xq)
 
     def run_placed(self, xi, xq):
@@ -361,11 +377,45 @@ class ShardedWidebandScan:
         if res is not None:
             self.connection, self.aa_rows, self.crc_inits = res
 
+    def _rescan_cell(self, t: int, m: int, min_pos: int) -> dict:
+        """Continue channel m's scan of time block t past ``min_pos``
+        (per-channel samples relative to the block): one single-channel
+        XLA rescan over the retained super-block slice, with the
+        previous block's tail as left filter context — the sharded
+        analog of wideband.sniffer.rescan_channel's slot-exhaustion
+        path."""
+        from ..wideband.sniffer import rescan_channel
+
+        ci, cq = self._rescan_src            # ctx + super-block samples
+        ctx = self.num_taps - 1
+        start = t * self.block_wb            # ctx-shifted == block - ctx
+        need = ctx + self.block_wb + self.halo_wb
+        si = ci[start : start + need]
+        sq = cq[start : start + need]
+        if si.shape[0] < need:
+            pad = need - si.shape[0]
+            si = jnp.pad(si, (0, pad))
+            sq = jnp.pad(sq, (0, pad))
+        out = rescan_channel(
+            si, sq, jnp.int32(m), self._gather_aa[m], self.aa_mask,
+            self.whiten_rows[m], self._gather_crc[m], self.adv_flags[m],
+            jnp.int32(min_pos), sps=self._sps, lag=self._lag,
+            max_candidates=self.max_candidates, num_taps=self.num_taps,
+            has_context=True)
+        return {k: np.asarray(v) for k, v in out.items()}
+
     def gather_packets(self, out) -> list:
         """Host-side assembly: global packet list with per-channel
         span-eating across time blocks (same semantics as the
-        single-device wideband sniffer)."""
+        single-device wideband sniffer). Candidate-slot overflow in a
+        (time, channel) cell triggers a rescan of that cell (never a
+        silent drop)."""
         from ..wideband.sniffer import WidebandPacket
+
+        # snapshot the keys this walk decodes with (follow handling may
+        # re-key self.aa_rows mid-walk for subsequent super-blocks)
+        self._gather_aa = self.aa_rows
+        self._gather_crc = self.crc_inits
 
         pos = np.asarray(out["pos"])          # (T, M, K)
         valid = np.asarray(out["valid"])
@@ -387,33 +437,64 @@ class ShardedWidebandScan:
 
         packets = []
         cursors = np.zeros(M, dtype=np.int64)
+
+        def consume_cell(t, m, row) -> bool:
+            """Walk one (time, channel) cell's slots in stream order;
+            True iff every slot filled AND more hits exist past them."""
+            ch = bin_to_channel(m)
+            adv = ch in (37, 38, 39)
+            n_slots = len(row["pos"])
+            for k in range(n_slots):
+                if not row["valid"][k]:
+                    return False
+                p = int(row["pos"][k])
+                if p >= k_per_block:
+                    continue  # halo territory: owned by the next block
+                abs_p = t * k_per_block + p
+                if abs_p < cursors[m]:
+                    continue
+                if adv and not row["len_ok"][k]:
+                    cursors[m] = abs_p + (32 + 16) * self._sps
+                    continue
+                pl = int(row["payload_len"][k])
+                pkt = WidebandPacket(
+                    ch, abs_p, pl, bool(row["crc_ok"][k]),
+                    row["pdu_bytes"][k, : 2 + pl].astype(np.uint8),
+                    float(row["mag_mean"][k]),
+                    access_addr=chan_aa[m],
+                )
+                self._maybe_follow(pkt)
+                packets.append(pkt)
+                cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * self._sps
+            return int(row["num_hits"]) > n_slots
+
         for t in range(pos.shape[0]):
             for m in range(M):
-                ch = bin_to_channel(m)
-                adv = ch in (37, 38, 39)
-                if bool(valid[t, m].all()) and int(num_hits[t, m]) > pos.shape[2]:
+                row = {"pos": pos[t, m], "valid": valid[t, m],
+                       "payload_len": plen[t, m], "len_ok": len_ok[t, m],
+                       "crc_ok": crc_ok[t, m], "pdu_bytes": pdu[t, m],
+                       "mag_mean": mag[t, m], "num_hits": num_hits[t, m]}
+                exhausted = consume_cell(t, m, row)
+                # slot exhaustion: hits past the last slot were not
+                # decoded — rescan this channel's time block from the
+                # consumed cursor until the cell's territory is clean
+                # (the sharded analog of WidebandSniffer's rescan loop;
+                # dropped silently before round 5)
+                if exhausted and self.on_truncate is not None:
+                    self.on_truncate(t, m, int(num_hits[t, m]))
+                if exhausted and self._rescan_src is None:
+                    # run_placed() without __call__ keeps no input to
+                    # rescan from — count it loudly instead of dropping
+                    # silently (bench paths checksum outputs only)
                     self.truncated_cells += 1
-                for k in range(pos.shape[2]):
-                    if not valid[t, m, k]:
-                        break
-                    p = int(pos[t, m, k])
-                    if p >= k_per_block:
-                        continue  # halo territory: owned by the next block
-                    abs_p = t * k_per_block + p
-                    if abs_p < cursors[m]:
-                        continue
-                    if adv and not len_ok[t, m, k]:
-                        cursors[m] = abs_p + (32 + 16) * self._sps
-                        continue
-                    pl = int(plen[t, m, k])
-                    pkt = WidebandPacket(
-                        ch, abs_p, pl, bool(crc_ok[t, m, k]),
-                        pdu[t, m, k, : 2 + pl].astype(np.uint8), float(mag[t, m, k]),
-                        access_addr=chan_aa[m],
-                    )
-                    self._maybe_follow(pkt)
-                    packets.append(pkt)
-                    cursors[m] = abs_p + (32 + 16 + (pl + 3) * 8) * self._sps
+                    exhausted = False
+                while exhausted and cursors[m] - t * k_per_block < k_per_block:
+                    before = cursors[m]
+                    self.truncated_cells += 1
+                    more = self._rescan_cell(t, m, cursors[m] - t * k_per_block)
+                    exhausted = consume_cell(t, m, more)
+                    if cursors[m] == before:
+                        break  # remaining hits are all in the halo
         self._stream_offset_ch += pos.shape[0] * k_per_block
         if self.multi_follower is not None:
             changed = self.multi_follower.on_tick(

@@ -103,6 +103,52 @@ class TestMultiHost:
 
 
 class TestShardedConnectionFollow:
+    @pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2)])
+    def test_slot_overflow_rescans(self, rng, mesh_shape):
+        """Dense traffic: more AA hits in one (time, channel) cell than
+        candidate slots. Round-4 dropped the overflow silently behind a
+        counter; the sharded path must now RECOVER via rescan (single-
+        device sniffer semantics) and surface the event."""
+        n_pkts = 9
+        bursts, expected = [], []
+        gap = np.zeros(6000, np.float32)
+        for _ in range(n_pkts):
+            (bi, bq), pdu = make_channel_burst(rng, 9, n_payload=6)
+            bursts.append((bi, bq))
+            expected.append(pdu)
+        sig_i = np.concatenate([x for b in bursts for x in (b[0], gap)])
+        sig_q = np.concatenate([x for b in bursts for x in (b[1], gap)])
+        n_time = mesh_shape[1]
+        n = -(-(len(sig_i) + 200000) // (n_time * 20 * 128)) \
+            * (n_time * 20 * 128)
+        wi, wq = synthesize_wideband({9: (sig_i, sig_q)}, n, {9: 4000})
+
+        mesh = make_mesh(*mesh_shape)
+        # plenty of slots: the baseline packet set, no truncation
+        # headroom for EVERY hit incl. 4-phase neighbors (one cell can
+        # hold all 9 packets' hits when n_time = 2)
+        ref = ShardedWidebandScan(mesh, block_wb=n // n_time,
+                                  max_candidates=64)
+        ref_pkts = [p for p in ref.gather_packets(ref(wi, wq)) if p.crc_ok]
+        assert len(ref_pkts) == n_pkts
+        assert ref.truncated_cells == 0
+
+        # starved slots: rescans must recover the identical packet set
+        starved = ShardedWidebandScan(mesh, block_wb=n // n_time,
+                                      max_candidates=2)
+        events = []
+        starved.on_truncate = lambda t, m, hits: events.append((t, m, hits))
+        got = [p for p in starved.gather_packets(starved(wi, wq))
+               if p.crc_ok]
+        assert starved.truncated_cells > 0
+        from btle_tpu.wideband.channelizer import channel_to_bin
+
+        assert events and all(m == channel_to_bin(9) for _, m, _ in events)
+        assert [(p.channel, p.sample_pos) for p in got] == \
+               [(p.channel, p.sample_pos) for p in ref_pkts]
+        for p, exp in zip(got, expected):
+            np.testing.assert_array_equal(p.pdu_bytes, exp)
+
     def test_connect_req_rekeys_next_step(self, rng):
         """CONNECT_REQ decoded in step 1 re-keys data channels so step 2
         hears the connection (hop tracking across the sharded stream)."""
