@@ -38,7 +38,7 @@ from ..wideband.channelizer import (DEFAULT_TAPS, D, M, _dft_matrix,
                                     branch_columns)
 
 
-def _branch_split_plan(num_taps: int):
+def _branch_split_plan(num_taps: int, cutoff_mhz: float = 1.0):
     """Per-device polyphase conv plan for a contiguous branch group.
 
     Device g owns branches p in [g*chunk, (g+1)*chunk). In the polyphase
@@ -49,7 +49,7 @@ def _branch_split_plan(num_taps: int):
     window. Returns flat (cols (M,), kernels (M, 1, width)) in branch
     order; a device slices its contiguous chunk.
     """
-    kern, row_of_p = _poly_kernel(num_taps)
+    kern, row_of_p = _poly_kernel(num_taps, cutoff_mhz)
     cols = branch_columns()
     kernels = kern[row_of_p, 0][:, None, :].astype(np.float32)
     return cols, kernels
@@ -83,7 +83,7 @@ class ShardedWidebandScan:
                  crc_init_hex: str = "555555",
                  fused: bool = False, fused_tile: int | None = None,
                  fused_dtype: str = "bf16x2w", fused_interpret: bool = False,
-                 phy: str = "1m"):
+                 phy: str = "1m", cutoff_mhz: float | None = None):
         self.mesh = mesh
         # LE PHY ("1m" | "2m"): BLE 5 keeps the 2 MHz channel grid, so
         # 2M only changes the per-channel samples/symbol (2) — same as
@@ -92,9 +92,14 @@ class ShardedWidebandScan:
         # (channel samples per us at 4 Msps).
         from ..wideband.sniffer import ch_sps_for_phy
 
+        from ..wideband.sniffer import cutoff_for_phy
+
         self.phy = phy
         self._sps = ch_sps_for_phy(phy)
         self._lag = self._sps
+        # phy-aware channel-filter passband (sniffer.cutoff_for_phy)
+        self.cutoff_mhz = (cutoff_mhz if cutoff_mhz is not None
+                           else cutoff_for_phy(phy))
         self.n_ch = mesh.shape["ch"]
         self.n_time = mesh.shape["time"]
         if M % self.n_ch:
@@ -126,7 +131,7 @@ class ShardedWidebandScan:
         aa_adv = B.hex_to_bits(access_address_hex)
         self.aa_rows = jnp.asarray(np.tile(aa_adv, (M, 1)))
         self.aa_mask = jnp.asarray(np.ones(32, np.int8))
-        cols, kernels = _branch_split_plan(num_taps)
+        cols, kernels = _branch_split_plan(num_taps, self.cutoff_mhz)
         self.branch_cols = jnp.asarray(cols)                    # (M,)
         self.kernel = jnp.asarray(kernels)                      # (M, 1, W)
         er, ei = _dft_matrix()
@@ -211,7 +216,8 @@ class ShardedWidebandScan:
                     adv_flags, sps=self._sps, lag=self._lag,
                     max_candidates=maxc, num_taps=num_taps, has_context=True,
                     tile=self.fused_tile, compute_dtype=self.fused_dtype,
-                    interpret=self.fused_interpret)
+                    interpret=self.fused_interpret,
+                    cutoff_mhz=self.cutoff_mhz)
                 return {k: v[None] for k, v in out.items()}
 
             # ---- branch-split polyphase conv (this device's branches):
@@ -401,7 +407,7 @@ class ShardedWidebandScan:
             self.whiten_rows[m], self._gather_crc[m], self.adv_flags[m],
             jnp.int32(min_pos), sps=self._sps, lag=self._lag,
             max_candidates=self.max_candidates, num_taps=self.num_taps,
-            has_context=True)
+            has_context=True, cutoff_mhz=self.cutoff_mhz)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def gather_packets(self, out) -> list:

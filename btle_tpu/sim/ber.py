@@ -83,7 +83,18 @@ def golden_rx_dense(i, q, aa_bits, whiten, crc_init, adv_flag, sps: int):
 class BerHarness:
     """Batched Monte-Carlo BER runner (config 3 of BASELINE.json)."""
 
-    def __init__(self, sps: int = 8, channel: int = 37):
+    def __init__(self, sps: int = 8, channel: int = 37, phy: str = "1m"):
+        """sps = samples per SYMBOL (8 -> 8 Msps at 1M, 16 Msps at 2M).
+        phy="2m" frames packets with the LE 2M 16-bit preamble
+        (beyond-reference: the C harness is 1M-only); the GFSK math is
+        rate-invariant at fixed samples/symbol, so 2M anchors match 1M
+        within Monte-Carlo spread — the table pins the 16-bit framing
+        and AA search under noise, while the CHANNELIZED 2M penalty is
+        measured separately (tools/ber_2m_wideband.py).
+        """
+        if phy not in ("1m", "2m"):
+            raise ValueError(f"unknown phy {phy!r}")
+        self.phy = phy
         self.sps = sps
         self.channel = channel
         self.aa_bits = jnp.asarray(B.hex_to_bits("d6be898e"))
@@ -128,7 +139,9 @@ class BerHarness:
         pdus = np.tile(base, (num_packets, 1)).astype(np.int8)
         pdus[:, 16:] = rng.integers(0, 2, (num_packets, len(base) - 16), dtype=np.int8)
 
-        head = B.hex_to_bits("aad6be898e")
+        # preamble (16 symbols at 2M, by-AA-LSB alternation) + AA
+        head = B.hex_to_bits("aaaad6be898e" if self.phy == "2m"
+                             else "aad6be898e")
         pdu_bytes = np.packbits(pdus.astype(np.uint8), axis=1, bitorder="little")
         state = np.full(num_packets, C.lfsr_init_to_table_init("555555"), np.int64)
         table = C.CRC24_TABLE.astype(np.int64)

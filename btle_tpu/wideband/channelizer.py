@@ -78,7 +78,7 @@ def prototype_filter(num_taps: int = M * TAPS_PER_BRANCH, cutoff_mhz: float = 1.
 
 
 @lru_cache(maxsize=None)
-def _conv_kernel(num_taps: int) -> np.ndarray:
+def _conv_kernel(num_taps: int, cutoff_mhz: float = 1.0) -> np.ndarray:
     """(M, 1, L) conv kernel: output channel p keeps taps tau = p (mod M).
 
     Cross-correlation form: out_p[k] = sum_w K[p, w] * x[kD + w]; we want
@@ -87,7 +87,7 @@ def _conv_kernel(num_taps: int) -> np.ndarray:
     (Reference formulation, kept as the numerical oracle for the grouped
     polyphase kernel below.)
     """
-    h = prototype_filter(num_taps)
+    h = prototype_filter(num_taps, cutoff_mhz)
     L = len(h)
     k = np.zeros((M, 1, L), dtype=np.float32)
     w = np.arange(L)
@@ -109,7 +109,7 @@ def branch_columns() -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _poly_kernel(num_taps: int):
+def _poly_kernel(num_taps: int, cutoff_mhz: float = 1.0):
     """Grouped polyphase kernel: the L-tap strided conv re-expressed over
     D=20 decimated streams so the compute is the TRUE polyphase work
     (M x L/M MACs per output frame) instead of an L-wide dense window.
@@ -126,7 +126,7 @@ def _poly_kernel(num_taps: int):
     conv with kernel (M, 1, L/20 + 1). Returns (kernel, row_of_p) where
     conv output row row_of_p[p] is branch p.
     """
-    h = prototype_filter(num_taps)
+    h = prototype_filter(num_taps, cutoff_mhz)
     L = len(h)
     width = L // D + 1
     taps_per = L // M
@@ -160,13 +160,13 @@ def _dft_matrix():
 
 
 @lru_cache(maxsize=None)
-def _fused_kernel(num_taps: int):
+def _fused_kernel(num_taps: int, cutoff_mhz: float = 1.0):
     """Dense conv kernel with the DFT folded in: input channels are the
     20 I-frames + 20 Q-frames, output channels are y_i[0..39] + y_q[0..39]
     (before the (-1)^(mk) correction). One fat conv instead of
     grouped-conv + two matmuls: contraction 40x65 maps onto the MXU.
     """
-    kern, row_of_p = _poly_kernel(num_taps)
+    kern, row_of_p = _poly_kernel(num_taps, cutoff_mhz)
     width = kern.shape[2]
     # K_p[c, s]: branch p's taps laid out over (column, shift)
     kp = np.zeros((M, D, width), dtype=np.float64)
@@ -184,8 +184,9 @@ def _fused_kernel(num_taps: int):
     return w
 
 
-@partial(jax.jit, static_argnames=("num_taps", "has_context"))
-def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = False):
+@partial(jax.jit, static_argnames=("num_taps", "has_context", "cutoff_mhz"))
+def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = False,
+               cutoff_mhz: float = 1.0):
     """(N,) wideband I/Q at 80 Msps -> (M, K) per-channel I/Q at 4 Msps.
 
     Output bin m covers BLE channel bin_to_channel(m).
@@ -212,7 +213,7 @@ def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = Fa
         # input channels = 20 I-frames + 20 Q-frames; one dense conv
         # computes polyphase FIR *and* DFT (kernel has the DFT folded in)
         lhs = jnp.swapaxes(frames, 1, 2).reshape(1, 2 * D, -1)  # (1, 40, J)
-        w = jnp.asarray(_fused_kernel(num_taps))                # (80, 40, 65)
+        w = jnp.asarray(_fused_kernel(num_taps, cutoff_mhz))    # (80, 40, 65)
         y = jax.lax.conv_general_dilated(
             lhs.astype(_CONV_DTYPE), w.astype(_CONV_DTYPE),
             window_strides=(1,), padding="VALID",
@@ -226,7 +227,7 @@ def channelize(i, q, num_taps: int = M * TAPS_PER_BRANCH, has_context: bool = Fa
         # each of the 20 decimated streams feeds its two branches), then
         # the 40-point DFT as matmuls
         lhs = jnp.swapaxes(frames, 1, 2)               # (2, 20, J)
-        kern, row_of_p = _poly_kernel(num_taps)
+        kern, row_of_p = _poly_kernel(num_taps, cutoff_mhz)
         # precision HIGHEST: at DEFAULT the TPU lowers f32 convs to one
         # bf16 pass (~-48 dB effective stopband -> cross-channel ghosts)
         u = jax.lax.conv_general_dilated(

@@ -77,19 +77,19 @@ _POLY_GROUP = 8  # poly inner: shifts chained in registers per ref store
 
 
 @lru_cache(maxsize=None)
-def _g_stack(num_taps: int) -> np.ndarray:
+def _g_stack(num_taps: int, cutoff_mhz: float = 1.0) -> np.ndarray:
     """(65, 80, 40) filterbank+DFT weights: y[o, k] = sum_s G[s] @ F[:, k+s].
 
     From channelizer._fused_kernel's conv weights w[o, i, s] (OIW layout):
     G[s][o, i] = w[o, i, s]. Input rows i: 0..19 = I decimated streams,
     20..39 = Q; output rows o: 0..39 = y_i bins, 40..79 = y_q bins.
     """
-    w = _fused_kernel(num_taps)          # (80, 40, width)
+    w = _fused_kernel(num_taps, cutoff_mhz)  # (80, 40, width)
     return np.ascontiguousarray(np.transpose(w, (2, 0, 1)))
 
 
 @lru_cache(maxsize=None)
-def _g_chunks(num_taps: int) -> np.ndarray:
+def _g_chunks(num_taps: int, cutoff_mhz: float = 1.0) -> np.ndarray:
     """(N_CHUNKS, 80, chunk*40) im2col weights.
 
     Chunk c's matmul contracts over chunk*40 = 520 rows of the im2col
@@ -104,7 +104,7 @@ def _g_chunks(num_taps: int) -> np.ndarray:
     through scratch, and the bf16 modes cannot rotate packed vectors —
     an f32 roll detour measured a wash. The copies stay.)
     """
-    g = _g_stack(num_taps)               # (width, 80, 40)
+    g = _g_stack(num_taps, cutoff_mhz)   # (width, 80, 40)
     width = g.shape[0]
     chunk = -(-width // N_CHUNKS)
     gp = np.zeros((N_CHUNKS * chunk, 2 * M, 2 * D), g.dtype)
@@ -116,7 +116,7 @@ def _g_chunks(num_taps: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _g_chunks_hilo(num_taps: int) -> np.ndarray:
+def _g_chunks_hilo(num_taps: int, cutoff_mhz: float = 1.0) -> np.ndarray:
     """(N_CHUNKS, 160, chunk*40) bf16 hi/lo im2col weight pair, stacked.
 
     gc = hi + lo to ~16 mantissa bits (~-96 dB — each half carries 8
@@ -130,14 +130,59 @@ def _g_chunks_hilo(num_taps: int) -> np.ndarray:
     """
     import ml_dtypes
 
-    gc = _g_chunks(num_taps).astype(np.float32)
+    gc = _g_chunks(num_taps, cutoff_mhz).astype(np.float32)
     hi = gc.astype(ml_dtypes.bfloat16).astype(np.float32)
     lo = (gc - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
     return np.ascontiguousarray(np.concatenate([hi, lo], axis=1))
 
 
 @lru_cache(maxsize=None)
-def _poly_tables(num_taps: int):
+def _g_chunks_x2(num_taps: int, cutoff_mhz: float = 1.0) -> np.ndarray:
+    """(N_CHUNKS, 160, chunk*80) weights for the "f32x2" parity mode.
+
+    Both operands of the filterbank matmul are split into exact bf16
+    hi/lo pairs, and the stacked weight matrix computes all FOUR cross
+    terms in ONE MXU matmul per chunk:
+
+        y = (Ghi + Glo) @ (xhi + xlo)
+          = yc[:80] + yc[80:]   with   yc = W2 @ X2
+
+    where X2 interleaves [xhi(40); xlo(40)] per im2col shift j (so the
+    contraction runs chunk*80 = 1040 deep) and W2 duplicates each weight
+    column across the hi/lo operand rows:
+
+        W2[0:80,   j*80+0:40] = W2[0:80,   j*80+40:80] = Ghi[:, j*40:+40]
+        W2[80:160, j*80+0:40] = W2[80:160, j*80+40:80] = Glo[:, j*40:+40]
+
+    Numerics: Ghi+Glo carries 16 weight mantissa bits (the validated
+    bf16x2w pair, ~-96 dB response) and xhi+xlo carries 16 input
+    mantissa bits — EXACT for int8/int16 SDR wire formats, ~2^-17
+    noise-like residual for f32 captures. Each bf16*bf16 product is
+    exact in the f32 accumulator (8x8 mantissa bits), so the only error
+    vs true f32 is the two 2^-17-class split residuals — ~256x tighter
+    than the shipped bf16x2w mode's single-bf16 operands, with the same
+    all-MXU cost structure (2x the matmul FLOPs, none of the poly
+    inner's ~65 Mosaic rolls per tile).
+    """
+    import ml_dtypes
+
+    gc = _g_chunks(num_taps, cutoff_mhz).astype(np.float32)
+    hi = gc.astype(ml_dtypes.bfloat16).astype(np.float32)
+    lo = (gc - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
+    n, rows, cols = gc.shape
+    chunk = cols // (2 * D)
+
+    def dup(a):
+        a4 = a.reshape(n, rows, chunk, 1, 2 * D)
+        a4 = np.broadcast_to(a4, (n, rows, chunk, 2, 2 * D))
+        return a4.reshape(n, rows, chunk * 4 * D)
+
+    return np.ascontiguousarray(
+        np.concatenate([dup(hi), dup(lo)], axis=1))
+
+
+@lru_cache(maxsize=None)
+def _poly_tables(num_taps: int, cutoff_mhz: float = 1.0):
     """Static tables for the TRUE-polyphase inner ("poly"): the folded
     dense conv (109 GFLOP/131k block at K=2600) inflates the arithmetic
     ~18x over the actual polyphase work — each branch p convolves ONE
@@ -159,7 +204,7 @@ def _poly_tables(num_taps: int):
     # loops would silently produce a zero filterbank)
     assert num_taps % (2 * D) == 0, \
         f"poly inner needs num_taps % {2 * D} == 0, got {num_taps}"
-    kern, row_of_p = _poly_kernel(num_taps)
+    kern, row_of_p = _poly_kernel(num_taps, cutoff_mhz)
     width = kern.shape[2]
     cols = branch_columns()
     # base(p) parity: p=0 -> width-1 (even), p in 1..D -> width-2 (odd),
@@ -192,6 +237,58 @@ def _poly_tables(num_taps: int):
     wdft[M + rows, ri[None, :]] = ei64                    # y_q <- Ei u_i
     wdft[M + rows, rq[None, :]] = er64                    # y_q <- Er u_q
     return perm, kcoef, wdft.astype(np.float32)
+
+
+# pre-shifted frame copies stacked per slice ("polyx"). 4 halves the
+# slice count again over 2 but quadruples the chain/scratch rows — every
+# VMEM-feasible tile OOMs the 16 MB scoped limit at stack 4 (round-5
+# sweep: t2560 needs 17.9M, t3072 21.2M), while stack 2 matches the poly
+# inner's footprint exactly (same 80 scratch rows, same chain bytes at
+# half the group length) and keeps most of the measured roll win
+# (tools/dev_rollscale.py: 65x(40,.) 1.297 -> 33x(80,.) 1.191 ->
+# 17x(160,.) 1.166 ms/block).
+POLYX_STACK = 2
+
+
+@lru_cache(maxsize=None)
+def _polyx_tables(num_taps: int, stack: int = POLYX_STACK,
+                  cutoff_mhz: float = 1.0):
+    """Static tables for the STACKED true-polyphase inner ("polyx").
+
+    The plain poly inner pays one unaligned lane slice (one Mosaic roll)
+    per tap shift — 65 per tile — and PERF.md pins those rolls, not
+    FLOPs, as the exact-f32 mode's floor. polyx builds ``stack``
+    pre-shifted copies of the permuted frame rows HOST-side (row group g
+    holds parity-(g%2) rows left-shifted by g columns), so ONE slice at
+    offset stack*j covers tap shifts stack*j .. stack*j+stack-1 across
+    its 40-row groups: 33 slices replace 65 at stack 2. Measured on v5e
+    (tools/dev_rollscale.py, same FMA work): 65x(40,·) slices 1.297
+    ms/block vs 33x(80,·) 1.191 vs 17x(160,·) 1.166 — roll cost scales
+    mostly with rows, but the saved per-op overhead is real. The parity
+    fold also disappears: the DFT contracts the stacked accumulator
+    directly (w4x = [We|Wo|...]).
+
+    Returns (perm, kcoefx, w4x, n_slices):
+      perm    (80,)   frame-row gather (same as _poly_tables)
+      kcoefx  (stack*40, n_slices) tap value of row r's branch at shift
+                      stack*j + (r//40), zero where that shift >= width
+      w4x     (80, stack*40) DFT matmul over the stacked accumulator
+    """
+    assert stack % 2 == 0, "stack must pair the even/odd parity groups"
+    perm, kcoef, wdft = _poly_tables(num_taps, cutoff_mhz)
+    width = kcoef.shape[1]
+    n_slices = -(-width // stack)
+    kcoefx = np.zeros((stack * 2 * D, n_slices), np.float32)
+    for g in range(stack):
+        block = kcoef[:2 * D] if g % 2 == 0 else kcoef[2 * D:]
+        for j in range(n_slices):
+            s = stack * j + g
+            if s < width:
+                kcoefx[g * 2 * D : (g + 1) * 2 * D, j] = block[:, s]
+    we, wo = wdft[:, :2 * D], wdft[:, 2 * D:]
+    w4x = np.concatenate([we if g % 2 == 0 else wo
+                          for g in range(stack)], axis=1)
+    return perm, kcoefx, np.ascontiguousarray(w4x), n_slices
 
 
 def _aa_w4(tsign):
@@ -229,7 +326,7 @@ def _fcols(tile: int, width: int, sps: int, lag: int) -> int:
 
 def _kernel(f_hbm, g_ref, w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
             mag_ref, fbuf, xbuf, sem, *, tile: int, width: int, sps: int,
-            lag: int, inner: str, dev_skip: str = ""):
+            lag: int, inner: str, fb_rows: int = 2 * D, dev_skip: str = ""):
     T = tile
     ycols = _ycols(T, sps, lag)
     i = pl.program_id(0)
@@ -251,14 +348,20 @@ def _kernel(f_hbm, g_ref, w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
         # hilo mode: g_ref rows are a stacked bf16 hi/lo weight pair
         # ([hi; lo], 160 rows) sharing one operand — each chunk is ONE
         # matmul whose row halves sum to the exact-ish f32 weights.
+        # f32x2 (fb_rows == 4*D): the frame buffer rows are themselves a
+        # stacked [xhi(40); xlo(40)] operand pair and g_ref duplicates
+        # each weight column across them (_g_chunks_x2) — each per-shift
+        # copy moves all 80 rows at once, so the copy COUNT (the Mosaic
+        # roll cost, which is width-independent) matches the plain bf16
+        # path while the matmul computes all four hi/lo cross terms.
         hilo = g_ref.shape[1] == 4 * M
-        chunk = g_ref.shape[2] // (2 * D)
+        chunk = g_ref.shape[2] // fb_rows
         y = jnp.zeros((2 * M, ycols), jnp.float32)
         for c in range(N_CHUNKS):
             if "col" not in dev_skip:   # dev-only stage timing knob
                 for j in range(chunk):
                     s = c * chunk + j
-                    xbuf[j * 2 * D : (j + 1) * 2 * D, :] = \
+                    xbuf[j * fb_rows : (j + 1) * fb_rows, :] = \
                         fbuf[:, s : s + ycols]
             if "mm" in dev_skip:        # dev-only stage timing knob
                 y = y + xbuf[: 2 * M, :ycols].astype(jnp.float32)
@@ -457,12 +560,55 @@ def _kernel_poly(f_hbm, kc_ref, w_ref, w4_ref, ts_ref, nmask_ref, bits_ref,
                 mag_ref, tile=T, sps=sps, lag=lag, dev_skip=dev_skip)
 
 
+def _kernel_polyx(f_hbm, kc_ref, w_ref, w4_ref, ts_ref, nmask_ref, bits_ref,
+                  hit_ref, mag_ref, fbuf, acc_ref, sem, *, tile: int,
+                  n_slices: int, stack: int, sps: int, lag: int, fcols: int,
+                  dev_skip: str = ""):
+    """Stacked true-polyphase inner (see _polyx_tables): 33 double-height
+    slices instead of 65 at stack 2, one (80, stack*40) DFT matmul, no
+    parity fold. Exact f32 throughout like the poly inner."""
+    T = tile
+    ycols = _ycols(T, sps, lag)
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(f_hbm.at[:, pl.ds(i * T, fcols)], fbuf, sem)
+    cp.start()
+    cp.wait()
+
+    f = fbuf[:]
+    # slices chained in registers per acc store: a slice is stack x the
+    # poly inner's 40 rows, so divide the group by stack to keep the
+    # Mosaic stack at the poly inner's proven liveness (group 8 chains
+    # of (80, ycols) measured 18.95M scoped VMEM at tile 3072 — OOM)
+    group = max(1, _POLY_GROUP // stack)
+    if "pg" in dev_skip:
+        group = int(dev_skip.split("pg")[1].split(",")[0])
+    first = True
+    for g0 in range(0, n_slices, group):
+        acc = None
+        for j in range(g0, min(g0 + group, n_slices)):
+            s = stack * j
+            t = f[:, s : s + ycols] * kc_ref[:, j : j + 1]
+            acc = t if acc is None else acc + t
+        acc_ref[:] = acc if first else acc_ref[:] + acc
+        first = False
+
+    y = jax.lax.dot_general(
+        w_ref[:], acc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_FILTER_PRECISION)
+    _demod_tail(y[:M], y[M:], w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
+                mag_ref, tile=T, sps=sps, lag=lag, dev_skip=dev_skip)
+
+
 def _default_inner(compute_dtype: str) -> str:
-    """Measured-fastest inner per mode: the bf16 modes keep the im2col
-    MXU form (the hi/lo weight pair needs matmuls); exact f32 is fastest
-    as the true-polyphase VPU form (771 vs 519 Msps on v5e — the folded
-    dense conv's 18x FLOP inflation outweighs the MXU's speed there)."""
-    return "im2col" if compute_dtype in ("bf16", "bf16x2w") else "poly"
+    """Measured-fastest inner per mode: the bf16 modes (incl. the f32x2
+    dual hi/lo split) keep the im2col MXU form (the hi/lo weight pair
+    needs matmuls); exact f32 is fastest as the true-polyphase VPU form
+    (771 vs 519 Msps on v5e — the folded dense conv's 18x FLOP inflation
+    outweighs the MXU's speed there)."""
+    return ("im2col" if compute_dtype in ("bf16", "bf16x2w", "f32x2")
+            else "poly")
 
 
 def _default_tile(compute_dtype: str, inner: str) -> int:
@@ -480,6 +626,20 @@ def _default_tile(compute_dtype: str, inner: str) -> int:
     limit)."""
     if compute_dtype == "f32" and inner == "im2col":
         return 1024
+    if inner == "polyx":
+        # round-5: the stacked slices quadruple the per-slice scratch
+        # rows; group-2 register chains keep the Mosaic stack bounded.
+        # Hardware sweep at the bench config: 2560 -> 826, 3072 -> 830,
+        # 3584 -> 837 Msps (the parity mode's first >=1.0x form).
+        return 3584
+    if compute_dtype == "f32x2":
+        # round-5 hardware sweep (131k bench config, 192-dispatch
+        # folds): 1024 -> 701, 1536 -> 716, 2048 -> 733, 2560 -> 740
+        # Msps — a measured NEGATIVE vs the poly inner's 794 (the
+        # doubled im2col copy rows + 2x matmul FLOPs outweigh the
+        # avoided VPU rolls); the mode stays as the documented
+        # all-MXU hi/lo-split form and for >=16-bit-exact operand use.
+        return 2560
     if inner == "polyroll":
         return 1024
     if inner == "poly":
@@ -489,12 +649,12 @@ def _default_tile(compute_dtype: str, inner: str) -> int:
 
 @partial(jax.jit, static_argnames=("num_taps", "has_context", "sps", "lag",
                                    "tile", "compute_dtype", "inner",
-                                   "interpret", "dev_skip"))
+                                   "interpret", "dev_skip", "cutoff_mhz"))
 def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
                    has_context: bool = False, sps: int = 4, lag: int = 4,
                    tile: int | None = None, compute_dtype: str = "f32",
                    inner: str | None = None, interpret: bool = False,
-                   dev_skip: str = ""):
+                   dev_skip: str = "", cutoff_mhz: float = 1.0):
     """80 Msps wideband IQ -> per-channel (bits, hit, mag) lattices.
 
     Drop-in for channelize + scan_block per channel: returns
@@ -511,10 +671,12 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     if tile is None:
         tile = _default_tile(compute_dtype, inner)
     hilo = compute_dtype == "bf16x2w"
-    assert not (hilo and inner != "im2col"), "bf16x2w needs the im2col inner"
-    cdtype = (jnp.bfloat16 if compute_dtype in ("bf16", "bf16x2w")
+    x2 = compute_dtype == "f32x2"
+    assert not ((hilo or x2) and inner != "im2col"), \
+        "bf16x2w/f32x2 need the im2col inner"
+    cdtype = (jnp.bfloat16 if compute_dtype in ("bf16", "bf16x2w", "f32x2")
               else jnp.float32)
-    g = _g_stack(num_taps)
+    g = _g_stack(num_taps, cutoff_mhz)
     width = g.shape[0]
 
     # frame prep — identical to channelizer.channelize()
@@ -534,7 +696,14 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     n_tiles = -(-k_out // T)
     j_pad = (n_tiles - 1) * T + _fcols(T, width, sps, lag)
     f_t = jnp.pad(f_t, ((0, 0), (0, j_pad - j_frames)))
-    if cdtype == jnp.bfloat16:
+    if x2:
+        # exact bf16 hi/lo operand split, stacked on the row axis: rows
+        # 0..39 = bf16(f), rows 40..79 = bf16(f - hi). Built in XLA
+        # (cheap elementwise) so the kernel DMAs the pair directly.
+        f_hi = f_t.astype(jnp.bfloat16)
+        f_lo = (f_t - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        f_t = jnp.concatenate([f_hi, f_lo], axis=0)      # (80, j_pad)
+    elif cdtype == jnp.bfloat16:
         f_t = f_t.astype(cdtype)
 
     if aa_rows.ndim == 1:
@@ -548,7 +717,32 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     # frames operand / output plumbing / lattice trim are shared below
     fcols = _fcols(T, width, sps, lag)
     vm = pltpu.VMEM
-    if inner in ("poly", "polyroll"):
+    if inner == "polyx":
+        assert compute_dtype == "f32", "polyx inner is the exact-f32 form"
+        stack = POLYX_STACK
+        if "px" in dev_skip:       # dev-only A/B knob: stack override
+            stack = int(dev_skip.split("px")[1].split(",")[0])
+        perm, kcoefx, w4x, n_slices = _polyx_tables(num_taps, stack,
+                                                     cutoff_mhz)
+        fp = f_t[jnp.asarray(perm)]                           # (80, j_pad)
+        fp = jnp.pad(fp, ((0, 0), (0, stack - 1)))
+        half = 2 * D
+        f4 = jnp.concatenate(
+            [fp[(0 if g % 2 == 0 else half):(half if g % 2 == 0 else 2 * half),
+                g : g + j_pad] for g in range(stack)], axis=0)
+        frames = f4                                           # (stack*40, j_pad)
+        kern = partial(_kernel_polyx, tile=T, n_slices=n_slices, stack=stack,
+                       sps=sps, lag=lag, fcols=fcols, dev_skip=dev_skip)
+        weights = (jnp.asarray(kcoefx), jnp.asarray(w4x))
+        w_specs = [
+            pl.BlockSpec(kcoefx.shape, lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec(w4x.shape, lambda i: (0, 0), memory_space=vm),
+        ]
+        scratch = [
+            vm((stack * 2 * D, fcols), jnp.float32),
+            vm((stack * 2 * D, _ycols(T, sps, lag)), jnp.float32),
+        ]
+    elif inner in ("poly", "polyroll"):
         # "f32": everything exact. "bf16": operands only — the taps
         # stay EXACT f32 (the VPU never quantizes weights), so unlike
         # im2col-bf16 the filter response is exact; operand rounding is
@@ -560,7 +754,7 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
             "poly inner: f32 or bf16 (operand-only) — weights are exact"
         assert not (inner == "polyroll" and compute_dtype != "f32"), \
             "polyroll inner is f32-only (no packed-bf16 rolls)"
-        perm, kcoef, wdft = _poly_tables(num_taps)
+        perm, kcoef, wdft = _poly_tables(num_taps, cutoff_mhz)
         frames = f_t[jnp.asarray(perm)]                       # (80, j_pad)
         kern = partial(_kernel_poly, tile=T, width=width, sps=sps, lag=lag,
                        roll_shifts=inner == "polyroll", dev_skip=dev_skip)
@@ -577,23 +771,26 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
         ]
     else:
         frames = f_t
+        fb_rows = 4 * D if x2 else 2 * D
         if inner == "im2col":
-            gk = jnp.asarray(_g_chunks_hilo(num_taps) if hilo
-                             else _g_chunks(num_taps), cdtype)
-            chunk = gk.shape[2] // (2 * D)
-            g_spec = pl.BlockSpec((gk.shape[0], gk.shape[1], chunk * 2 * D),
+            gk = jnp.asarray(
+                _g_chunks_x2(num_taps, cutoff_mhz) if x2
+                else _g_chunks_hilo(num_taps, cutoff_mhz) if hilo
+                else _g_chunks(num_taps, cutoff_mhz), cdtype)
+            chunk = gk.shape[2] // fb_rows
+            g_spec = pl.BlockSpec((gk.shape[0], gk.shape[1], chunk * fb_rows),
                                   lambda i: (0, 0, 0), memory_space=vm)
-            x_scratch = vm((chunk * 2 * D, _ycols(T, sps, lag)), cdtype)
+            x_scratch = vm((chunk * fb_rows, _ycols(T, sps, lag)), cdtype)
         else:  # "dots"
             gk = jnp.asarray(g, cdtype)
             g_spec = pl.BlockSpec((width, 2 * M, 2 * D),
                                   lambda i: (0, 0, 0), memory_space=vm)
             x_scratch = vm((8, 128), cdtype)  # unused placeholder
         kern = partial(_kernel, tile=T, width=width, sps=sps, lag=lag,
-                       inner=inner, dev_skip=dev_skip)
+                       inner=inner, fb_rows=fb_rows, dev_skip=dev_skip)
         weights = (gk,)
         w_specs = [g_spec]
-        scratch = [vm((2 * D, fcols), cdtype), x_scratch]
+        scratch = [vm((fb_rows, fcols), cdtype), x_scratch]
 
     bits, hit, mag = pl.pallas_call(
         kern,
@@ -628,13 +825,15 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
 
 @partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "num_taps",
                                    "has_context", "tile", "compute_dtype",
-                                   "inner", "decode", "interpret"))
+                                   "inner", "decode", "interpret",
+                                   "cutoff_mhz", "dev_skip"))
 def wideband_scan_fused(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                         adv_flags, sps: int = 4, lag: int = 4,
                         max_candidates: int = 8, num_taps: int = DEFAULT_TAPS,
                         has_context: bool = False, tile: int | None = None,
                         compute_dtype: str = "f32", inner: str | None = None,
-                        decode: str = "pallas", interpret: bool = False):
+                        decode: str = "pallas", interpret: bool = False,
+                        cutoff_mhz: float = 1.0, dev_skip: str = ""):
     """Drop-in for sniffer.wideband_scan with the Pallas front end.
 
     Same per-channel candidate dict. decode="pallas" also runs the
@@ -648,7 +847,8 @@ def wideband_scan_fused(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
     bits, hit, mag = fused_frontend(
         i_wb, q_wb, aa_rows, aa_mask, num_taps=num_taps,
         has_context=has_context, sps=sps, lag=lag, tile=tile,
-        compute_dtype=compute_dtype, inner=inner, interpret=interpret)
+        compute_dtype=compute_dtype, inner=inner, interpret=interpret,
+        cutoff_mhz=cutoff_mhz, dev_skip=dev_skip)
 
     if decode == "pallas":
         from ..rx.pallas_decode import decode_candidates_pallas

@@ -78,7 +78,8 @@ def fused_selftest(compute_dtype: str = "f32", tile: int | None = None,
                    inner: str | None = None, decode: str = "pallas",
                    interpret: bool | None = None, scan_fn=None,
                    max_candidates: int = 8,
-                   pipeline: str = "fused", phy: str = "1m") -> dict[int, int]:
+                   pipeline: str = "fused", phy: str = "1m",
+                   cutoff_mhz: float | None = None) -> dict[int, int]:
     """Run the known-answer scene through the scan pipeline and verify.
 
     Arguments mirror `wideband_scan_fused`'s configuration so the test
@@ -106,17 +107,22 @@ def fused_selftest(compute_dtype: str = "f32", tile: int | None = None,
     wi, wq, expected = _scene(phy=phy)
     aa, mask, whiten, crc, adv = default_scan_tables()
     sps = ch_sps_for_phy(phy)   # 4 Msps channels: 2 samples/sym @ 2M
+    from .sniffer import cutoff_for_phy
+
+    if cutoff_mhz is None:
+        cutoff_mhz = cutoff_for_phy(phy)   # phy-aware prototype
 
     if scan_fn is not None or pipeline == "fused":
         fn = scan_fn or wideband_scan_fused
         out = fn(jnp.asarray(wi), jnp.asarray(wq), aa, mask, whiten, crc,
                  adv, sps=sps, lag=sps, max_candidates=max_candidates,
                  compute_dtype=compute_dtype, tile=tile, inner=inner,
-                 decode=decode, interpret=interpret)
+                 decode=decode, interpret=interpret, cutoff_mhz=cutoff_mhz)
     elif pipeline == "xla":
         out = wideband_scan(jnp.asarray(wi), jnp.asarray(wq), aa, mask,
                             whiten, crc, adv, sps=sps, lag=sps,
-                            max_candidates=max_candidates)
+                            max_candidates=max_candidates,
+                            cutoff_mhz=cutoff_mhz)
     else:
         raise ValueError(f"unknown pipeline {pipeline!r}")
     out = {k: np.asarray(v) for k, v in out.items()}

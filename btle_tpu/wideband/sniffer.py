@@ -32,6 +32,25 @@ CH_SPS = 4  # channelizer output is 4 Msps = 4 samples/symbol
 CH_LAG = 4
 
 
+# Per-phy channel-filter passband default (prototype_filter cutoff, MHz).
+# LE 1M: the classic 1.0 MHz half-channel cutoff (AD9361 pass0.8/stop1.1
+# class). LE 2M: the 2 Msym/s GFSK spectrum extends past +-1 MHz, and the
+# shared 1.0 MHz prototype truncates it (~2-4 dB decode-floor penalty,
+# round-4 measurement). Round-5 sweep over the known-answer 2M scene with
+# AWGN (tools/dev_2m_cutoff.py; decode rate at 0/2/4 dB int8-peak SNR)
+# picked 1.3 MHz: wide enough to pass the 2M main lobe, narrow enough
+# that decimation aliasing (folds start at 4 - cutoff MHz) stays out of
+# the occupied band. See BER_CURVES.md for the resulting 2M anchors.
+CUTOFF_MHZ_1M = 1.0
+CUTOFF_MHZ_2M = 1.3
+
+
+def cutoff_for_phy(phy: str) -> float:
+    """Default channel-filter cutoff (MHz) for an LE PHY."""
+    ch_sps_for_phy(phy)
+    return CUTOFF_MHZ_2M if phy == "2m" else CUTOFF_MHZ_1M
+
+
 def ch_sps_for_phy(phy: str) -> int:
     """Samples per SYMBOL in the 4 Msps channelizer output for an LE
     PHY — 4 at 1M, 2 at 2M (BLE 5 keeps the 2 MHz channel grid, so only
@@ -59,14 +78,15 @@ def decode_channels(i_ch, q_ch, aa_rows, aa_mask, whiten_rows, crc_inits,
 
 
 @partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "num_taps",
-                                   "has_context"))
+                                   "has_context", "cutoff_mhz"))
 def wideband_scan(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
                   adv_flags, sps: int = CH_SPS, lag: int = CH_LAG,
                   max_candidates: int = 8, num_taps: int = DEFAULT_TAPS,
-                  has_context: bool = False):
+                  has_context: bool = False, cutoff_mhz: float = 1.0):
     """One fused program: 80 Msps block -> 40-channel candidate arrays.
     aa_rows: (M, 32) per-channel access-address bits (or (32,), broadcast)."""
-    y_i, y_q = channelize(i_wb, q_wb, num_taps=num_taps, has_context=has_context)
+    y_i, y_q = channelize(i_wb, q_wb, num_taps=num_taps, has_context=has_context,
+                          cutoff_mhz=cutoff_mhz)
     if aa_rows.ndim == 1:
         aa_rows = jnp.broadcast_to(aa_rows, (M, 32))
     return decode_channels(y_i, y_q, aa_rows, aa_mask, whiten_rows,
@@ -74,18 +94,19 @@ def wideband_scan(i_wb, q_wb, aa_rows, aa_mask, whiten_rows, crc_inits,
 
 
 @partial(jax.jit, static_argnames=("sps", "lag", "max_candidates", "num_taps",
-                                   "has_context"))
+                                   "has_context", "cutoff_mhz"))
 def rescan_channel(i_wb, q_wb, slot, aa_row, aa_mask, whiten_row, crc_init,
                    adv_flag, min_pos, sps: int = CH_SPS, lag: int = CH_LAG,
                    max_candidates: int = 8, num_taps: int = DEFAULT_TAPS,
-                   has_context: bool = False):
+                   has_context: bool = False, cutoff_mhz: float = 1.0):
     """Continue the span-eating scan of ONE channel past ``min_pos``.
 
     Used when a block has more AA hits in a channel than candidate slots
     (the wideband analog of stream_decode's slot-exhaustion rescan,
     rx/decoder.py): ``slot`` and ``min_pos`` are traced, so every rescan
     reuses one compiled program regardless of channel or cursor."""
-    y_i, y_q = channelize(i_wb, q_wb, num_taps=num_taps, has_context=has_context)
+    y_i, y_q = channelize(i_wb, q_wb, num_taps=num_taps, has_context=has_context,
+                          cutoff_mhz=cutoff_mhz)
     return decode_block(y_i[slot], y_q[slot], aa_row, aa_mask, whiten_row,
                         crc_init, adv_flag, sps=sps, lag=lag,
                         max_candidates=max_candidates, min_pos=min_pos)
@@ -177,9 +198,17 @@ class WidebandConfig:
     # 2m 17/21 at 0 dB, clean from 4 dB) — beyond the LE-1M-only
     # reference either way.
     phy: str = "1m"
+    # channel-filter passband (MHz); None = per-phy default
+    # (cutoff_for_phy: 1.0 at 1M, 1.3 at 2M — the phy-aware prototype)
+    cutoff_mhz: float | None = None
 
     def __post_init__(self):
         ch_sps_for_phy(self.phy)   # validates
+
+    @property
+    def resolved_cutoff_mhz(self) -> float:
+        return (self.cutoff_mhz if self.cutoff_mhz is not None
+                else cutoff_for_phy(self.phy))
 
 
 @dataclass
@@ -352,6 +381,7 @@ class WidebandSniffer:
                 num_taps=self.cfg.num_taps, has_context=True,
                 tile=self.cfg.fused_tile,
                 compute_dtype=self.cfg.fused_dtype,
+                cutoff_mhz=self.cfg.resolved_cutoff_mhz,
             )
         else:
             out = wideband_scan(
@@ -359,7 +389,7 @@ class WidebandSniffer:
                 self.whiten_rows, self.crc_inits, self.adv_flags,
                 sps=self._sps, lag=self._lag,
                 max_candidates=self.cfg.max_candidates, num_taps=self.cfg.num_taps,
-                has_context=True,
+                has_context=True, cutoff_mhz=self.cfg.resolved_cutoff_mhz,
             )
         # snapshot the keys THIS scan used (follow handling may re-key
         # self.aa_rows for later blocks while this one is in flight)
@@ -393,6 +423,7 @@ class WidebandSniffer:
                     sps=self._sps, lag=self._lag,
                     max_candidates=self.cfg.max_candidates,
                     num_taps=self.cfg.num_taps, has_context=True,
+                    cutoff_mhz=self.cfg.resolved_cutoff_mhz,
                 )
                 more = {k: np.asarray(v) for k, v in more.items()}
                 exhausted = self._consume_channel(m, more, scan_limit, packets)

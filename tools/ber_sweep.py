@@ -23,12 +23,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--phy", default="1m", choices=["1m", "2m"],
+                    help="LE PHY framing (2m: 16-bit preamble packets; "
+                         "beyond-reference — the C harness is 1M-only)")
     args = ap.parse_args()
 
+    from btle_tpu.sim.ber import BerHarness
     from btle_tpu.sim.sweep import anchors_pass, as_markdown, run_sweep
 
     t0 = time.perf_counter()
-    points = run_sweep(seed=args.seed, progress=lambda p: print(
+    harness = BerHarness(phy=args.phy) if args.phy != "1m" else None
+    points = run_sweep(harness=harness, seed=args.seed, progress=lambda p: print(
         f"ppm {p.ppm:4.0f}  snr {p.snr_db:5.1f}  ber {p.ber:.2e}  "
         f"ok {p.pkts_ok}/{p.packets}", file=sys.stderr))
     dt = time.perf_counter() - t0

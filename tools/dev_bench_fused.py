@@ -395,3 +395,94 @@ if which == "tune3":
                                       tile=_t, compute_dtype="bf16x2w")
             return checksum(out)
         measure(stepw, f"bf16x2w-t{tile}", iters=192, trials=3)
+
+if which == "x2":
+    # round-5: the f32x2 parity candidate (dual bf16 hi/lo operand/weight
+    # split, all-MXU). Sweep the VMEM-feasible tiles at the exact bench
+    # config (16 cand slots, 192-dispatch folds) + the f32-poly anchor.
+    for tile in (1024, 1536, 2048, 2560):
+        @jax.jit
+        def stepw(i, q, _t=tile):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                      tile=_t, compute_dtype="f32x2")
+            return checksum(out)
+        try:
+            measure(stepw, f"f32x2-t{tile}", iters=192, trials=3)
+        except Exception as e:
+            print(f"f32x2-t{tile}: FAILED {type(e).__name__}: {e}", flush=True)
+    @jax.jit
+    def stepp(i, q):
+        out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                  sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                  compute_dtype="f32")
+        return checksum(out)
+    measure(stepp, "f32-poly-anchor", iters=192, trials=3)
+
+
+if which == "polyx":
+    # round-5: stacked-slice exact-f32 inner (17 rolls instead of 65).
+    # Full pipeline at the bench config for the tile sweep; pgN variants
+    # go through fused_frontend's dev_skip knob (frontend-only timing).
+    for tile in (2560, 3072, 3584, 3840):
+        @jax.jit
+        def stepw(i, q, _t=tile):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                      tile=_t, compute_dtype="f32", inner="polyx")
+            return checksum(out)
+        try:
+            measure(stepw, f"polyx-t{tile}", iters=192, trials=3)
+        except Exception as e:
+            print(f"polyx-t{tile}: FAILED {type(e).__name__}: {e}", flush=True)
+    for pg in (1, 4):
+        @jax.jit
+        def stepf(i, q, _pg=pg):
+            out = fused_frontend(i, q, jnp.broadcast_to(aa_bits, (40, 32)), aa_mask,
+                                 num_taps=DEFAULT_TAPS, sps=4, lag=LAG, tile=3584,
+                                 compute_dtype="f32", inner="polyx", dev_skip=f"pg{_pg}")
+            return checksum(out)
+        try:
+            measure(stepf, f"polyx-fe-t3584-pg{pg}", iters=192, trials=3)
+        except Exception as e:
+            print(f"polyx-fe-t3584-pg{pg}: FAILED {type(e).__name__}: {e}", flush=True)
+    @jax.jit
+    def stepf2(i, q):
+        out = fused_frontend(i, q, jnp.broadcast_to(aa_bits, (40, 32)), aa_mask,
+                             num_taps=DEFAULT_TAPS, sps=4, lag=LAG, tile=3584,
+                             compute_dtype="f32", inner="polyx")
+        return checksum(out)
+    measure(stepf2, "polyx-fe-t3584-pg2", iters=192, trials=3)
+
+
+if which == "polyx2":
+    # round-5: stack-2 polyx sweep (33 slices of (80,.)) + pg knobs
+    for tile in (3072, 3584, 3840, 4096):
+        @jax.jit
+        def stepw(i, q, _t=tile):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                      tile=_t, compute_dtype="f32", inner="polyx")
+            return checksum(out)
+        try:
+            measure(stepw, f"polyx2-t{tile}", iters=192, trials=3)
+        except Exception as e:
+            print(f"polyx2-t{tile}: FAILED {type(e).__name__}: {str(e)[:160]}", flush=True)
+
+
+
+if which == "polyx3":
+    # round-5: stack-2 polyx after the group fix (chain = POLY_GROUP//stack)
+    for tile, pg in ((3072, None), (3584, 3), (3584, 2), (3840, 3), (4096, 2)):
+        tag = f"polyx3-t{tile}" + (f"-pg{pg}" if pg else "")
+        @jax.jit
+        def stepw(i, q, _t=tile, _pg=pg):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                      tile=_t, compute_dtype="f32", inner="polyx",
+                                      dev_skip="" if _pg is None else f"pg{_pg}")
+            return checksum(out)
+        try:
+            measure(stepw, tag, iters=192, trials=3)
+        except Exception as e:
+            print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)

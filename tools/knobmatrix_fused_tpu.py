@@ -66,6 +66,9 @@ def config_matrix(full: bool):
     # LE 2M wideband (sps=2 per channel) — hardware-validated in round 4
     add("bf16x2w", "im2col", t("bf16x2w", "im2col"), phy="2m")
     add("f32", "poly", t("f32", "poly"), phy="2m")
+    # round-5: dual hi/lo operand/weight split (all-MXU slot-exact form;
+    # measured slower than poly — kept as a validated non-default mode)
+    add("f32x2", "im2col", t("f32x2", "im2col"))
 
     if full:
         # tile one step either side of each shipped default: recorded,
