@@ -486,3 +486,17 @@ if which == "polyx3":
             measure(stepw, tag, iters=192, trials=3)
         except Exception as e:
             print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+
+
+if which == "polyx4":
+    for tile in (3328, 3456):
+        @jax.jit
+        def stepw(i, q, _t=tile):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                      tile=_t, compute_dtype="f32", inner="polyx")
+            return checksum(out)
+        try:
+            measure(stepw, f"polyx4-t{tile}", iters=192, trials=3)
+        except Exception as e:
+            print(f"polyx4-t{tile}: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)
