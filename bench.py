@@ -131,9 +131,10 @@ def main():
     samples_per_block = scan_len_ch * 20  # territory actually consumed
     msps = samples_per_block * sorted(rates)[len(rates) // 2] / 1e6
 
-    # regression-track the bit-faithful f32 parity mode alongside the
-    # headline (exact-f32 poly inner, the library's WidebandConfig
-    # default) — a parity-mode slowdown should be as visible run-to-run
+    # regression-track the exact-f32 parity mode alongside the headline
+    # (round-5 "polyx" stacked-slice inner, 806 Msps = 1.01x the target
+    # on v5e — the first parity-mode configuration at >= 1.0x; see
+    # PERF.md) — a parity-mode slowdown should be as visible run-to-run
     # as a headline one. Skipped on the XLA fallback path (no second
     # kernel config exists there).
     parity = {}
@@ -151,7 +152,7 @@ def main():
             pmsps = samples_per_block * sorted(prates)[len(prates) // 2] / 1e6
             parity = {"parity_msps": round(pmsps, 1),
                       "parity_vs_baseline": round(pmsps / 800.0, 3),
-                      "parity_path": "fused-f32-poly"}
+                      "parity_path": "fused-f32-polyx"}
         except Exception as e:  # pragma: no cover - keep the headline
             print(f"# parity-mode measurement unavailable "
                   f"({type(e).__name__})", file=sys.stderr)

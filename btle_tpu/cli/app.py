@@ -513,13 +513,30 @@ def cmd_send_cmd(args):
     from ..stream.control import parse_register_file, send_command
 
     regs = parse_register_file(args.register_file) if args.register_file else []
-    n = send_command(
-        args.port, args.host,
+    kw = dict(
         channel=args.channel,
         crc_init=int(args.crc_init, 16) if args.crc_init else None,
         access_addr=int(args.access_addr, 16) if args.access_addr else None,
         regs=regs,
     )
+    if args.serial:
+        # byte-framed serial HCI transport (stream/hci.py — the chip's
+        # UART HCI path); --serial takes any byte device (tty, pty, pipe)
+        import os
+
+        from ..stream.hci import send_command_serial
+
+        fd = os.open(args.serial, os.O_WRONLY | os.O_NOCTTY)
+        try:
+            n = send_command_serial(fd, **kw)
+        finally:
+            os.close(fd)
+        print(f"# sent {n} register write(s) over serial {args.serial}",
+              file=sys.stderr)
+        return 0
+    if args.port is None:
+        raise SystemExit("send-cmd: --port or --serial required")
+    n = send_command(args.port, args.host, **kw)
     print(f"# sent {n} register write(s) to {args.host}:{args.port}",
           file=sys.stderr)
     return 0
@@ -677,8 +694,11 @@ def build_parser():
 
     p = sub.add_parser("send-cmd", help="retune a running receiver "
                        "(ble_send_cmd parity: channel / CRC init / AA)")
-    p.add_argument("--port", type=int, required=True,
-                   help="receiver's --control-port")
+    p.add_argument("--port", type=int, default=None,
+                   help="receiver's --control-port (UDP transport)")
+    p.add_argument("--serial", default=None, metavar="DEV",
+                   help="send over a byte-framed serial device instead "
+                        "of UDP (the chip's UART HCI path; stream/hci.py)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("-n", "--channel", type=int, default=None)
     p.add_argument("-c", "--crc-init", default=None, help="hex, e.g. 0x555555")

@@ -604,11 +604,12 @@ def _kernel_polyx(f_hbm, kc_ref, w_ref, w4_ref, ts_ref, nmask_ref, bits_ref,
 def _default_inner(compute_dtype: str) -> str:
     """Measured-fastest inner per mode: the bf16 modes (incl. the f32x2
     dual hi/lo split) keep the im2col MXU form (the hi/lo weight pair
-    needs matmuls); exact f32 is fastest as the true-polyphase VPU form
-    (771 vs 519 Msps on v5e — the folded dense conv's 18x FLOP inflation
-    outweighs the MXU's speed there)."""
+    needs matmuls); exact f32 is fastest as the STACKED true-polyphase
+    VPU form (round-5 "polyx": 33 double-height slices instead of the
+    poly inner's 65 rolls — 806 vs 794 Msps on v5e; the folded dense
+    conv's 18x FLOP inflation keeps im2col-f32 far behind at 519)."""
     return ("im2col" if compute_dtype in ("bf16", "bf16x2w", "f32x2")
-            else "poly")
+            else "polyx")
 
 
 def _default_tile(compute_dtype: str, inner: str) -> int:
@@ -627,11 +628,12 @@ def _default_tile(compute_dtype: str, inner: str) -> int:
     if compute_dtype == "f32" and inner == "im2col":
         return 1024
     if inner == "polyx":
-        # round-5: the stacked slices quadruple the per-slice scratch
-        # rows; group-2 register chains keep the Mosaic stack bounded.
-        # Hardware sweep at the bench config: 2560 -> 826, 3072 -> 830,
-        # 3584 -> 837 Msps (the parity mode's first >=1.0x form).
-        return 3584
+        # round-5 hardware sweep at the bench config (131k blocks, 16
+        # cand slots, 192-dispatch folds): 3072 -> 806 Msps, 3328 ->
+        # 803; 3456+ exceeds the 16 MB scoped-VMEM limit (17.8M at
+        # 3584 even with shorter register chains). 806 = 1.01x the
+        # 800 Msps target — the parity mode's first >=1.0x form.
+        return 3072
     if compute_dtype == "f32x2":
         # round-5 hardware sweep (131k bench config, 192-dispatch
         # folds): 1024 -> 701, 1536 -> 716, 2048 -> 733, 2560 -> 740

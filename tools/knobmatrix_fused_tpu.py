@@ -55,19 +55,23 @@ def config_matrix(full: bool):
                      expected))
 
     # the two shipped modes (library default + bench mode), both decode
-    # paths, plus the known-bad AA_GRP=4 pin on each
-    add("f32", "poly", t("f32", "poly"))
-    add("f32", "poly", t("f32", "poly"), decode="xla")
+    # paths, plus the known-bad AA_GRP=4 pin on each. "polyx" (stacked
+    # slices) is the round-5 exact-f32 default inner (806 Msps = 1.01x).
+    add("f32", "polyx", t("f32", "polyx"))
+    add("f32", "polyx", t("f32", "polyx"), decode="xla")
     add("bf16x2w", "im2col", t("bf16x2w", "im2col"))
     add("bf16x2w", "im2col", t("bf16x2w", "im2col"), decode="xla")
-    add("f32", "poly", t("f32", "poly"), aa_grp=4, expected="known_bad")
+    add("f32", "polyx", t("f32", "polyx"), aa_grp=4, expected="known_bad")
     add("bf16x2w", "im2col", t("bf16x2w", "im2col"), aa_grp=4,
         expected="known_bad")
-    # LE 2M wideband (sps=2 per channel) — hardware-validated in round 4
+    # LE 2M wideband (sps=2 per channel, phy-aware 1.2 MHz prototype via
+    # fused_selftest's cutoff resolution) — hardware-validated round 4/5
     add("bf16x2w", "im2col", t("bf16x2w", "im2col"), phy="2m")
-    add("f32", "poly", t("f32", "poly"), phy="2m")
+    add("f32", "polyx", t("f32", "polyx"), phy="2m")
+    # round-4 exact-f32 default (kept as a supported non-default mode)
+    add("f32", "poly", t("f32", "poly"))
     # round-5: dual hi/lo operand/weight split (all-MXU slot-exact form;
-    # measured slower than poly — kept as a validated non-default mode)
+    # measured slower than polyx — kept as a validated non-default mode)
     add("f32x2", "im2col", t("f32x2", "im2col"))
 
     if full:
@@ -85,6 +89,7 @@ def config_matrix(full: bool):
         add("bf16", "poly", t("bf16", "poly"))
         add("f32", "im2col", t("f32", "im2col"))
         add("f32", "polyroll", t("f32", "polyroll"))
+        add("f32", "poly", t("f32", "poly"), phy="2m")
     return cfgs
 
 
