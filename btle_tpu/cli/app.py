@@ -30,10 +30,12 @@ def _add_rx_args(p):
                    help="sample format (i8=HackRF, i16=firmware, f32=usrp, csv=Vivado ILA)")
     p.add_argument("--channel", type=int, default=37)
     p.add_argument("--sps", type=int, default=4, help="samples per symbol")
-    p.add_argument("--phy", default="1m", choices=["1m", "2m"],
+    p.add_argument("--phy", default="1m",
+                   choices=["1m", "2m", "coded8", "coded2"],
                    help="LE PHY of the capture (2m = BLE 5 LE 2M: a "
-                        "--sps 4 capture is then 8 Msps; demod/framing "
-                        "are symbol-indexed, only timekeeping changes)")
+                        "--sps 4 capture is then 8 Msps; coded8/coded2 "
+                        "= BLE 5 LE Coded S=8/S=2 at 1 Msym/s — "
+                        "coded-AA sync + soft Viterbi, rx/coded.py)")
     p.add_argument("--access-addr", default=None, help="hex access address (display order)")
     p.add_argument("--crc-init", default="555555", help="hex CRC init (display order)")
     p.add_argument("--access-mask", default=None, help="hex care-mask for AA bits")
@@ -120,6 +122,8 @@ def _build_sniffer(args):
 def cmd_decode(args):
     from ..stream import iq_file_source, stdin_source
 
+    if args.phy in ("coded8", "coded2"):
+        return _cmd_decode_coded(args)
     sniffer = _build_sniffer(args)
     if args.bin == "-":
         if args.format == "csv":
@@ -141,6 +145,38 @@ def cmd_decode(args):
             sniffer.pcap.close()
     ok = sum(1 for e in events if e.crc_ok)
     print(f"# {len(events)} packets ({ok} CRC OK)", file=sys.stderr)
+    return 0
+
+
+def _cmd_decode_coded(args):
+    """LE Coded capture decode: coded-AA sync + soft Viterbi over the
+    whole capture (beyond-reference; rx/coded.py)."""
+    from ..rx.coded import decode_coded
+    from ..stream.pcap import PcapWriter
+
+    if args.bin == "-":
+        raise SystemExit("decode: coded PHY needs a seekable --bin file")
+    dt = {"i8": np.int8, "i16": np.int16, "f32": np.float32}[args.format]
+    data = np.fromfile(args.bin, dtype=dt)
+    i = data[0::2].astype(np.float32)
+    q = data[1::2].astype(np.float32)
+    aa_hex = args.access_addr or "d6be898e"
+    pkts = decode_coded(i, q, args.channel, sps=args.sps,
+                        access_address_hex=aa_hex,
+                        crc_init_hex=args.crc_init, max_candidates=8)
+    pcap = PcapWriter(args.pcap) if getattr(args, "pcap", None) else None
+    for p in pkts:
+        print(f"ch{args.channel:02d} pos{p['pos']} "
+              f"crc{'0' if p['crc_ok'] else '1'} S={p['s']} "
+              f"plen{p['payload_len']} aa_agree{p['aa_agree']} "
+              + bytes(p["pdu_bytes"]).hex())
+        if pcap and p["crc_ok"]:
+            pcap.write_packet(bytes(p["pdu_bytes"]), args.channel,
+                              int(aa_hex, 16))
+    if pcap:
+        pcap.close()
+    ok = sum(1 for p in pkts if p["crc_ok"])
+    print(f"# {len(pkts)} coded candidates ({ok} CRC OK)", file=sys.stderr)
     return 0
 
 
@@ -312,7 +348,29 @@ def cmd_tx(args):
     if args.repeat is not None:
         repeat = args.repeat
     sym_rate = 1
-    if getattr(args, "phy", "1m") == "2m":
+    if getattr(args, "phy", "1m") in ("coded8", "coded2"):
+        # LE Coded framing (beyond-reference): each spec's PDU rides the
+        # coded packet structure (preamble/FEC1/FEC2, spec/coded.py); the
+        # symbol stream synthesizes through the SAME raw-bits TX path at
+        # 1 Msym/s, so Space gaps and output formats work unchanged
+        from dataclasses import replace as _replace
+
+        from ..spec import bits as B
+        from ..spec import coded as K
+
+        s_coded = 8 if args.phy == "coded8" else 2
+        new_specs = []
+        for sp in specs:
+            if sp.raw_phy_bits is not None:
+                raise SystemExit("tx: RAW packets cannot be re-framed "
+                                 "for the coded PHY")
+            aa_hex = bytes(B.bits_to_bytes(sp.info_bits[8:40])).hex()
+            sym = K.assemble_coded_phy(
+                sp.info_bits[sp.pdu_start:], sp.channel, s=s_coded,
+                access_address_hex=aa_hex, crc_init_hex=sp.crc_init_hex)
+            new_specs.append(_replace(sp, raw_phy_bits=sym))
+        specs = new_specs
+    elif getattr(args, "phy", "1m") == "2m":
         # plan_to_wideband synthesizes per-spec (2M bursts at 40
         # samples/symbol), so --wideband-out composes 2M scenes too —
         # decode them back with `wideband --phy 2m`
@@ -623,11 +681,13 @@ def build_parser():
     p.add_argument("--out", default=None, help="output IQ file")
     p.add_argument("--out-format", default="f32", choices=["i8", "f32"])
     p.add_argument("--repeat", type=int, default=None)
-    p.add_argument("--phy", default="1m", choices=["1m", "2m"],
+    p.add_argument("--phy", default="1m",
+                   choices=["1m", "2m", "coded8", "coded2"],
                    help="frame the plan for this LE PHY (2m = BLE 5 LE "
                         "2M: 16-bit preamble; output at --sps 4 is then "
-                        "an 8 Msps stream; decode it back with "
-                        "`decode --phy 2m`)")
+                        "an 8 Msps stream; coded8/coded2 = BLE 5 LE "
+                        "Coded S=8/S=2 at 1 Msym/s; decode back with "
+                        "`decode --phy 2m|coded8|coded2`)")
     p.add_argument("--dump-dir", default=None,
                    help="write reference-style per-stage trace files")
     p.add_argument("--wideband-out", default=None, metavar="FILE",
