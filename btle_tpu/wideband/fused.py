@@ -391,10 +391,19 @@ def _kernel(f_hbm, g_ref, w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
 # Shifts manufactured per strided roll in the AA correlation. Measured
 # on v5e at the production config (bf16x2w, tile 2048): GRP=4 2.18,
 # GRP=8 2.28, GRP=16 2.28 ms/block — BUT GRP=4 decodes ZERO packets on
-# hardware (the (8, 40, 160) unaligned-lane w4 or the 8-group strided
-# rotate miscompiles; interpret mode is correct either way), verified
-# by tools/validate_fused_tpu.py. GRP=8 is the hardware-validated
-# setting; do not change without re-running that tool on a real chip.
+# hardware while interpret mode is correct. ROOT CAUSE (round-5
+# bisection, tools/dev_aagrp_bisect.py): pltpu.roll(stride=SPS,
+# stride_axis=0) over a (4, 40, nbp) broadcast mis-shifts rows on the
+# chip WHEN ITS OPERAND IS AN IN-KERNEL COMPUTED VALUE (the where/
+# concatenate-produced lattice) — acc comes back with dense even-integer
+# errors up to +-34 (~88% of positions), so the acc == 32 hit test never
+# fires. The same op is EXACT when the lattice is loaded from a kernel
+# input ref (tools/dev_aagrp_repro.py), and a VMEM-scratch store/reload
+# does NOT restore correctness (Mosaic fuses the producer into the roll
+# either way) — the bug class is producer-fusion x stack-height-4, not
+# memory residency. Stack heights 8 and 16 are exact in every context.
+# fused_frontend REJECTS GRP=4 at construction on hardware backends;
+# the knob matrix regression-tracks the pin (KNOBMATRIX.json).
 AA_GRP = 8
 
 
@@ -668,6 +677,16 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
     """
     win = AA_BITS * sps
     assert win & (win - 1) == 0, "RSSI doubling loop needs 32*sps power of 2"
+    if AA_GRP == 4 and not interpret:
+        # construction-time fence for the known hardware miscompile:
+        # 4-high strided-roll stacks over computed operands mis-shift on
+        # the chip (see the AA_GRP note above + tools/dev_aagrp_bisect.py
+        # for the minimized repro). Interpret mode stays allowed (it is
+        # correct, and the dev tools A/B against it).
+        raise ValueError(
+            "AA_GRP=4 miscompiles on TPU hardware (strided-roll "
+            "producer-fusion bug; minimized repro in "
+            "tools/dev_aagrp_bisect.py) — use 8 or 16")
     if inner is None:
         inner = _default_inner(compute_dtype)
     if tile is None:

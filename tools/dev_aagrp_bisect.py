@@ -15,6 +15,10 @@ time, each variant a standalone Pallas kernel diffed against numpy:
   tail-f32  s_lat loaded as f32 input (skips the bool->+-1 where)
   grid      the "tail" kernel under a 2-tile grid with the production
             out_specs (block-indexed VMEM writes)
+  dma-mm    the production kernel's SHAPE: frames in HBM, per-tile
+            manual DMA (make_async_copy), an MXU matmul producing y
+            from the DMA'd frame tile, then the real _demod_tail —
+            the filterbank context without the filterbank arithmetic
 
 Run on the attached TPU (each variant also runs GRP=8 as control):
     python tools/dev_aagrp_bisect.py
@@ -65,13 +69,34 @@ def main():
     on_hw = backend in ("tpu", "axon")
     print(f"backend: {backend} (hardware compile: {on_hw})", flush=True)
 
+    from btle_tpu.golden import model as G
+
     rng = np.random.default_rng(3)
     ycols = fused._ycols(T, SPS, LAG)
-    y_i = rng.normal(size=(M, ycols)).astype(np.float32)
-    y_q = rng.normal(size=(M, ycols)).astype(np.float32)
     aa_rows = rng.integers(0, 2, (M, AA_BITS)).astype(np.float32)
     tsign = aa_rows * 2 - 1
+    # REAL GFSK lattices with the per-channel AA planted at a known
+    # position: random noise decisions can never reach acc == 32, which
+    # made a pure-noise diff VACUOUS for the hit-producing path (the
+    # production failure mode is exactly "hits never fire")
+    y_i = np.zeros((M, ycols), np.float32)
+    y_q = np.zeros((M, ycols), np.float32)
+    for c in range(M):
+        nbits = ycols // SPS + 8
+        bits = rng.integers(0, 2, nbits).astype(np.int8)
+        p0 = 40 + 3 * c
+        bits[p0 : p0 + AA_BITS] = aa_rows[c].astype(np.int8)
+        gi, gq = G.gfsk_modulate_float(bits, SPS)
+        y_i[c] = gi[:ycols] / 127.0
+        y_q[c] = gq[:ycols] / 127.0
     want_bits, want_hit = numpy_tail(y_i, y_q, tsign)
+    nb_full = T + (AA_BITS - 1) * SPS
+    d_full = (y_i[:, :nb_full] * y_q[:, LAG : nb_full + LAG]
+              - y_i[:, LAG : nb_full + LAG] * y_q[:, :nb_full])
+    want_bits_full = (d_full > 0).astype(np.int8)
+    n_hits = int(want_hit.sum())
+    assert n_hits >= M, f"scene must plant hits, got {n_hits}"
+    print(f"planted AA hits in truth: {n_hits}", flush=True)
 
     def run_tail(grp: int, n_tiles: int = 1, pad: bool = True,
                  preload_slat: bool = False):
@@ -122,7 +147,201 @@ def main():
             fused.AA_GRP = grp0
             jax.clear_caches()
 
+    def run_dma_mm(grp: int, n_tiles: int = 2):
+        grp0 = fused.AA_GRP
+        fused.AA_GRP = grp
+        jax.clear_caches()
+        try:
+            w4 = np.asarray(fused._aa_w4(jnp.asarray(tsign)))
+            nmask = np.full((1, 1), float(AA_BITS), np.float32)
+            fcols = -(-ycols // 128) * 128
+            rng2 = np.random.default_rng(5)
+            # frames carry the GFSK y lattices tiled across the grid so
+            # every tile sees real plantable AA hits; identity matmul
+            # passes them through exactly
+            frames = np.zeros((80, (n_tiles - 1) * T + fcols), np.float32)
+            for t in range(n_tiles):
+                frames[:M, t * T : t * T + ycols] = y_i[:, :ycols]
+                frames[M:, t * T : t * T + ycols] = y_q[:, :ycols]
+            wmat = np.eye(80, dtype=np.float32)
+
+            def kern(f_hbm, w_ref, w4_ref, ts_ref, nm_ref, bits_ref,
+                     hit_ref, mag_ref, fbuf, sem):
+                i = pl.program_id(0)
+                cp = pltpu.make_async_copy(
+                    f_hbm.at[:, pl.ds(i * T, fcols)], fbuf, sem)
+                cp.start()
+                cp.wait()
+                y = jax.lax.dot_general(
+                    w_ref[:], fbuf[:, :ycols],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                fused._demod_tail(y[:M], y[M:], w4_ref, ts_ref, nm_ref,
+                                  bits_ref, hit_ref, mag_ref,
+                                  tile=T, sps=SPS, lag=LAG)
+
+            outs = pl.pallas_call(
+                kern,
+                grid=(n_tiles,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY if not on_hw
+                                 else pltpu.HBM),
+                    pl.BlockSpec((80, 80), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(w4.shape, lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((M, AA_BITS), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((M, T), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+                    for _ in range(3)
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((M, n_tiles * T), jnp.int8),
+                    jax.ShapeDtypeStruct((M, n_tiles * T), jnp.int8),
+                    jax.ShapeDtypeStruct((M, n_tiles * T), jnp.float32),
+                ],
+                scratch_shapes=[pltpu.VMEM((80, fcols), jnp.float32),
+                                pltpu.SemaphoreType.DMA(())],
+                interpret=not on_hw,
+            )(jnp.asarray(frames), jnp.asarray(wmat), jnp.asarray(w4),
+              jnp.asarray(tsign), jnp.asarray(nmask))
+            got = [np.asarray(o) for o in outs]
+            # ground truth per tile (identity matmul: tile t sees the
+            # frames slice starting at t*T, which holds the lattice)
+            wbits, whit = [], []
+            for t in range(n_tiles):
+                ftile = frames[:, t * T : t * T + ycols]
+                b_, h_ = numpy_tail(ftile[:M], ftile[M:], tsign)
+                wbits.append(b_)
+                whit.append(h_)
+            return got, np.concatenate(wbits, 1), np.concatenate(whit, 1)
+        finally:
+            fused.AA_GRP = grp0
+            jax.clear_caches()
+
+    def run_aa_only(grp: int, via_scratch: bool):
+        """The AA stage alone on a LOADED +-1 lattice (via_scratch=False,
+        the original repro's form — historically exact) or with the
+        lattice recomputed in-kernel from loaded bits then optionally
+        materialized through a VMEM scratch before the strided roll
+        (via_scratch=True tests the store-reload workaround)."""
+        nb = T + (AA_BITS - 1) * SPS
+        nbp = -(-nb // 128) * 128
+        bits_in = (want_bits_full[:, :nb] > 0).astype(np.float32)
+        grp0 = fused.AA_GRP
+        fused.AA_GRP = grp
+        jax.clear_caches()
+        w4 = np.asarray(fused._aa_w4(jnp.asarray(tsign)))
+        fused.AA_GRP = grp0
+
+        def kern(b_ref, w4_ref, hit_ref, acc_ref, *scratch):
+            bits = b_ref[:] > 0.5
+            s_lat = jnp.where(bits, 1.0, -1.0)
+            if nbp != nb:
+                s_lat = jnp.concatenate(
+                    [s_lat, jnp.zeros((M, nbp - nb), jnp.float32)], axis=1)
+            if via_scratch:
+                scratch[0][:] = s_lat
+                s_lat = scratch[0][:]
+            acc = jnp.zeros((M, T), jnp.float32)
+            for g in range(AA_BITS // grp):
+                g0 = grp * g
+                xb = jnp.broadcast_to(s_lat[None], (grp, M, nbp))
+                x = pltpu.roll(xb, nbp - SPS * (g0 + grp - 1), 2,
+                               stride=SPS, stride_axis=0
+                               ).reshape(grp * M, nbp)
+                acc = acc + jax.lax.dot_general(
+                    w4_ref[g], x[:, :T],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            hit_ref[:] = (acc == float(AA_BITS)).astype(jnp.int8)
+            acc_ref[:] = acc
+
+        outs = pl.pallas_call(
+            kern,
+            out_shape=[jax.ShapeDtypeStruct((M, T), jnp.int8),
+                       jax.ShapeDtypeStruct((M, T), jnp.float32)],
+            scratch_shapes=([pltpu.VMEM((M, nbp), jnp.float32)]
+                            if via_scratch else []),
+            interpret=not on_hw,
+        )(jnp.asarray(bits_in), jnp.asarray(w4))
+        return [np.asarray(o) for o in outs]
+
     failures = 0
+    for grp in (8, 4):
+        for via_scratch in (False, True):
+            name = f"aa-only{'-scratch' if via_scratch else ''}"
+            import jax.numpy as jnp  # noqa: F811
+            old = fused.AA_GRP
+            try:
+                got, acc = run_aa_only(grp, via_scratch)
+            except Exception as e:
+                print(f"{name} GRP={grp}: ERROR {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
+                failures += grp == 4
+                continue
+            finally:
+                fused.AA_GRP = old
+            ok = np.array_equal(got, want_hit)
+            print(f"{name} GRP={grp}: "
+                  f"{'exact match' if ok else f'MISMATCH hit={int((got != want_hit).sum())}'}",
+                  flush=True)
+            if not ok:
+                # characterize: acc error at the planted positions and
+                # globally (truth acc from numpy_tail's construction)
+                s_np = np.where(want_bits_full > 0, 1.0, -1.0)
+                acc_t = np.zeros((M, T))
+                for j in range(AA_BITS):
+                    acc_t += tsign[:, j : j + 1] * s_np[:, j * SPS : j * SPS + T]
+                err = acc - acc_t
+                ch, pos = np.nonzero(want_hit)
+                print(f"    acc err: max|e|={np.abs(err).max():.1f} "
+                      f"nonzero={np.count_nonzero(err)} "
+                      f"at-hit errs={[int(err[c, p_]) for c, p_ in zip(ch[:6], pos[:6])]}",
+                      flush=True)
+                # which 4-shift group is broken? recompute truth per group
+                for g in range(AA_BITS // grp):
+                    gt = np.zeros((M, T))
+                    for r in range(grp):
+                        j = g * grp + grp - 1 - r
+                        j2 = g * grp + r
+                        gt += tsign[:, j2 : j2 + 1] * s_np[:, j2 * SPS : j2 * SPS + T]
+                    # cheap per-group check: accumulate expected and
+                    # compare against a rerun is overkill; report the
+                    # error's divisibility structure instead
+                print(f"    err values histogram: "
+                      f"{dict(zip(*np.unique(err[np.abs(err) > 0][:200], return_counts=True)))}",
+                      flush=True)
+            failures += (not ok) and grp == 4
+
+    for grp in (8, 4):
+        try:
+            (bits, hit, mag), wb, wh = run_dma_mm(grp)
+        except Exception as e:
+            print(f"dma-mm GRP={grp}: ERROR {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            failures += grp == 4
+            continue
+        # the f32 matmul path may not be bit-identical to float64 numpy;
+        # compare HIT/bits where the numpy |d| margin is comfortable? The
+        # matmul at HIGHEST is deterministic; recompute truth in float32
+        ok_b = np.array_equal(bits, wb)
+        ok_h = np.array_equal(hit, wh)
+        if ok_b and ok_h:
+            print(f"dma-mm GRP={grp}: exact match", flush=True)
+        else:
+            nb_ = int((bits != wb).sum())
+            nh_ = int((hit != wh).sum())
+            print(f"dma-mm GRP={grp}: MISMATCH bits={nb_} hit={nh_}"
+                  f"  <-- {'MINIMIZED REPRO' if grp == 4 else 'CONTROL FAILED'}",
+                  flush=True)
+            failures += grp == 4
+
     for name, kwargs in (("tail", {}), ("grid2", {"n_tiles": 2})):
         for grp in (8, 4):
             try:
