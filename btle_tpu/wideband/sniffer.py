@@ -149,6 +149,32 @@ def try_track_connection(hop_tracker, pkt, now_us, aa_rows, crc_inits):
     return conn, jnp.asarray(new_aa), jnp.asarray(new_crc)
 
 
+@partial(jax.jit, static_argnames=("fused", "sps", "lag", "max_candidates",
+                                   "num_taps", "has_context", "tile",
+                                   "compute_dtype", "cutoff_mhz"))
+def _scan_and_pack(xi, xq, aa_rows, aa_mask, whiten_rows, crc_inits,
+                   adv_flags, *, fused: bool, sps: int, lag: int,
+                   max_candidates: int, num_taps: int, has_context: bool,
+                   cutoff_mhz: float, tile=None, compute_dtype="bf16x2w"):
+    """The streaming sniffer's per-block program: scan + output packing
+    fused into ONE compiled program (see WidebandSniffer._pack_outputs)."""
+    if fused:
+        from .fused import wideband_scan_fused as scan_fn
+
+        out = scan_fn(xi, xq, aa_rows, aa_mask, whiten_rows, crc_inits,
+                      adv_flags, sps=sps, lag=lag,
+                      max_candidates=max_candidates, num_taps=num_taps,
+                      has_context=has_context, tile=tile,
+                      compute_dtype=compute_dtype, cutoff_mhz=cutoff_mhz)
+    else:
+        out = wideband_scan(xi, xq, aa_rows, aa_mask, whiten_rows,
+                            crc_inits, adv_flags, sps=sps, lag=lag,
+                            max_candidates=max_candidates,
+                            num_taps=num_taps, has_context=has_context,
+                            cutoff_mhz=cutoff_mhz)
+    return WidebandSniffer._pack_outputs(out)
+
+
 @dataclass
 class WidebandConfig:
     access_address_hex: str = ADV_ACCESS_ADDRESS_HEX
@@ -282,6 +308,7 @@ class WidebandSniffer:
         self._ctx_i = np.zeros(self._ctx_len, np.float32)
         self._ctx_q = np.zeros(self._ctx_len, np.float32)
         self.truncated_channels = 0   # candidate-capacity overflows seen
+        self._shapes_cache = None     # packed-output layout (per config)
         # connection following: hop-pattern tracker + device-array updates.
         # Unlike the single-radio reference, the wideband sniffer hears all
         # 37 data channels at once — tracking a connection only means
@@ -341,6 +368,47 @@ class WidebandSniffer:
                                   phy=self.cfg.phy)
         return fused_selftest(pipeline="xla", phy=self.cfg.phy)
 
+    # fixed key order for the single-fetch output packing (below)
+    _PACK_KEYS = ("pos", "valid", "payload_len", "len_ok", "crc_ok",
+                  "pdu_bytes", "mag_mean", "num_hits")
+
+    def _scan_kwargs(self) -> dict:
+        return dict(sps=self._sps, lag=self._lag,
+                    max_candidates=self.cfg.max_candidates,
+                    num_taps=self.cfg.num_taps, has_context=True,
+                    cutoff_mhz=self.cfg.resolved_cutoff_mhz)
+
+    @staticmethod
+    @jax.jit
+    def _pack_outputs(out):
+        """Flatten the whole candidate tree into ONE int32 vector on
+        device. Through a remote device link every np.asarray is a
+        ~25 ms round trip — eight per block made the live loop fetch-
+        bound at ~5x air time; one packed fetch restores it (floats ride
+        as bit patterns)."""
+        segs = []
+        for k in WidebandSniffer._PACK_KEYS:
+            v = out[k]
+            v32 = (jax.lax.bitcast_convert_type(v, jnp.int32)
+                   if v.dtype == jnp.float32 else v.astype(jnp.int32))
+            segs.append(v32.reshape(-1))
+        return jnp.concatenate(segs)
+
+    @staticmethod
+    def _unpack_outputs(buf, shapes_dtypes):
+        out = {}
+        off = 0
+        for k, (shape, dtype) in shapes_dtypes.items():
+            n = int(np.prod(shape))
+            v = buf[off : off + n].reshape(shape)
+            if dtype == np.float32:
+                v = v.view(np.float32)
+            elif dtype == np.bool_:
+                v = v.astype(bool)
+            out[k] = v
+            off += n
+        return out
+
     def process(self, i_wb, q_wb) -> list[WidebandPacket]:
         """Process one wideband block of wb_block_len samples. Successive
         calls must overlap by halo_ch*D wideband samples (the stream
@@ -359,8 +427,17 @@ class WidebandSniffer:
         re-keying then lags the pipeline depth, the same latency class
         as the reference's serial half-buffer loop (btle_rx.c:531-540).
         """
-        i_wb = np.asarray(i_wb, np.float32)
-        q_wb = np.asarray(q_wb, np.float32)
+        # integer wire formats stay integer on the host->device link
+        # (the cast runs on device): halves the per-block upload for the
+        # int16 live path vs a host-side float conversion
+        i_wb = np.asarray(i_wb)
+        q_wb = np.asarray(q_wb)
+        if i_wb.dtype.kind not in "iu":
+            i_wb = i_wb.astype(np.float32)
+            q_wb = q_wb.astype(np.float32)
+        if self._ctx_i.dtype != i_wb.dtype:
+            self._ctx_i = self._ctx_i.astype(i_wb.dtype)
+            self._ctx_q = self._ctx_q.astype(i_wb.dtype)
         xi = np.concatenate([self._ctx_i, i_wb])
         xq = np.concatenate([self._ctx_q, q_wb])
         # next block starts right after this block's territory; xi already
@@ -370,36 +447,38 @@ class WidebandSniffer:
         self._ctx_i = xi[step : step + self._ctx_len].copy()
         self._ctx_q = xq[step : step + self._ctx_len].copy()
         dxi, dxq = jnp.asarray(xi), jnp.asarray(xq)
+        kw = self._scan_kwargs()
         if self.cfg.fused:
-            from .fused import wideband_scan_fused
-
-            out = wideband_scan_fused(
-                dxi, dxq, self.aa_rows, self.aa_mask,
-                self.whiten_rows, self.crc_inits, self.adv_flags,
-                sps=self._sps, lag=self._lag,
-                max_candidates=self.cfg.max_candidates,
-                num_taps=self.cfg.num_taps, has_context=True,
-                tile=self.cfg.fused_tile,
-                compute_dtype=self.cfg.fused_dtype,
-                cutoff_mhz=self.cfg.resolved_cutoff_mhz,
-            )
-        else:
-            out = wideband_scan(
-                dxi, dxq, self.aa_rows, self.aa_mask,
-                self.whiten_rows, self.crc_inits, self.adv_flags,
-                sps=self._sps, lag=self._lag,
-                max_candidates=self.cfg.max_candidates, num_taps=self.cfg.num_taps,
-                has_context=True, cutoff_mhz=self.cfg.resolved_cutoff_mhz,
-            )
+            kw.update(tile=self.cfg.fused_tile,
+                      compute_dtype=self.cfg.fused_dtype)
+        args = (dxi, dxq, self.aa_rows, self.aa_mask, self.whiten_rows,
+                self.crc_inits, self.adv_flags)
+        # ONE dispatched program: the scan with the output tree packed
+        # into a single int32 vector — one device program per block and
+        # one host fetch per consume (every extra program/fetch is a
+        # ~25 ms round trip through a remote device link)
+        if self._shapes_cache is None:
+            if self.cfg.fused:
+                from .fused import wideband_scan_fused as _sf
+            else:
+                _sf = wideband_scan
+            out_sh = jax.eval_shape(partial(_sf, **kw), *args)
+            self._shapes_cache = {k: (out_sh[k].shape,
+                                      np.dtype(out_sh[k].dtype))
+                                  for k in self._PACK_KEYS}
+        packed = _scan_and_pack(*args, fused=self.cfg.fused, **kw)
+        shapes_dtypes = self._shapes_cache
         # snapshot the keys THIS scan used (follow handling may re-key
         # self.aa_rows for later blocks while this one is in flight)
-        return {"out": out, "dxi": dxi, "dxq": dxq,
+        return {"packed": packed, "shapes": shapes_dtypes,
+                "dxi": dxi, "dxq": dxq,
                 "aa_np": np.asarray(self.aa_rows),
                 "aa_rows": self.aa_rows, "crc_inits": self.crc_inits}
 
     def consume_scan(self, handle) -> list[WidebandPacket]:
         """Fetch + walk one scan_async() handle (in dispatch order)."""
-        out = {k: np.asarray(v) for k, v in handle["out"].items()}
+        out = self._unpack_outputs(np.asarray(handle["packed"]),
+                                   handle["shapes"])
         dxi, dxq = handle["dxi"], handle["dxq"]
         self._aa_np = handle["aa_np"]
 

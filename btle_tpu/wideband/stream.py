@@ -68,6 +68,7 @@ class WidebandStreamRunner:
         self.pcap = pcap
         self.text_fh = text_fh
         self.pkt_count = 0
+        self.mag_scale = 1.0        # RSSI calibration for integer inputs
         self.stats = StreamStats()
         self._hop_emitted = 0
         self._trunc_emitted = 0
@@ -114,7 +115,7 @@ class WidebandStreamRunner:
         if not self.ndjson:
             return
         ts = time.time()
-        rssi = rssi_dbm_from_mag(p.rssi_mag)
+        rssi = rssi_dbm_from_mag(p.rssi_mag * self.mag_scale)
         payload_bytes = bytes(p.pdu_bytes[2:].astype(np.uint8))
         h = p.header
         if isinstance(h, AdvHeader):
@@ -210,9 +211,8 @@ class WidebandStreamRunner:
                     if writes:
                         sn.apply_control_registers(writes)
                 i16, q16 = blk
-                pending.append(sn.scan_async(
-                    i16.astype(np.float32) * scale,
-                    q16.astype(np.float32) * scale))
+                self.mag_scale = scale
+                pending.append(sn.scan_async(i16, q16))
                 if len(pending) >= max(1, pipeline):
                     self.consume(pending.popleft())
             elif pending:

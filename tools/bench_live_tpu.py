@@ -119,8 +119,9 @@ def main():
         return time.monotonic() >= deadline
 
     # warm the compiled program before timing (first compile is minutes
-    # through the tunnel and would otherwise fill the ring with drops)
-    warm = np.zeros(sn.wb_block_len, np.float32)
+    # through the tunnel and would otherwise fill the ring with drops);
+    # warm with the SAME int16 dtype the ring path dispatches
+    warm = np.zeros(sn.wb_block_len, np.int16)
     sn.process(warm, warm)
     th.start()
     stats = runner.run_live(ring, should_stop=should_stop,
