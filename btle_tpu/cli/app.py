@@ -213,6 +213,9 @@ def cmd_wideband(args):
     from ..stream.pcap import PcapWriter
     from ..wideband import WidebandConfig, WidebandSniffer
 
+    if getattr(args, "phy", "1m") in ("coded8", "coded2"):
+        return _cmd_wideband_coded(args)
+
     cfg = WidebandConfig(follow_connections=args.follow or args.max_follow > 1,
                          max_follow=args.max_follow, fused=args.fused,
                          fused_dtype=args.fused_dtype,
@@ -335,6 +338,39 @@ def _wideband_live(args, runner):
         if control is not None:
             control.close()
         ring.close()
+
+
+def _cmd_wideband_coded(args):
+    """All 40 channels of LE Coded airspace from one 80 Msps capture
+    (wideband/coded.py; beyond-reference). Finite captures only —
+    follow/live semantics are uncoded-PHY features."""
+    from ..wideband.coded import scan_coded_capture
+
+    if args.live or args.follow or args.max_follow > 1:
+        raise SystemExit("wideband: coded PHY supports finite captures "
+                         "(no --live/--follow yet)")
+    if not args.bin:
+        raise SystemExit("wideband: --bin FILE required")
+    dt = {"i8": np.int8, "i16": np.int16, "f32": np.float32}[args.format]
+    data = np.fromfile(args.bin, dtype=dt)
+    pkts = scan_coded_capture(data[0::2].astype(np.float32),
+                              data[1::2].astype(np.float32))
+    from ..stream.pcap import PcapWriter
+
+    pcap = PcapWriter(args.pcap) if args.pcap else None
+    for p in pkts:
+        print(f"ch{p['channel']:02d} pos{p['pos']} "
+              f"crc{'0' if p['crc_ok'] else '1'} S={p['s']} "
+              f"plen{p['payload_len']} " + bytes(p["pdu_bytes"]).hex())
+        if pcap and p["crc_ok"]:
+            pcap.write_packet(bytes(p["pdu_bytes"]), p["channel"],
+                              0x8E89BED6)
+    if pcap:
+        pcap.close()
+    ok = sum(1 for p in pkts if p["crc_ok"])
+    print(f"# {len(pkts)} coded candidates ({ok} CRC OK) across "
+          f"{len({p['channel'] for p in pkts})} channels", file=sys.stderr)
+    return 0
 
 
 def cmd_tx(args):
@@ -661,11 +697,13 @@ def build_parser():
                         "packet-set-identical to f32 on hardware, "
                         "selftest-gated), f32 = exact-filterbank parity "
                         "mode, bf16 = 8-bit-ADC-class stopband")
-    p.add_argument("--phy", default="1m", choices=["1m", "2m"],
+    p.add_argument("--phy", default="1m",
+                   choices=["1m", "2m", "coded8", "coded2"],
                    help="LE PHY of the airspace: 2m scans all 40 "
                         "channels of BLE 5 LE 2M from the same 80 Msps "
                         "capture (2 samples/symbol per channel; the "
-                        "channel grid is unchanged)")
+                        "channel grid is unchanged); coded8/coded2 scan "
+                        "LE Coded airspace (finite captures)")
     p.add_argument("--selftest", default=None, action="store_true",
                    help="run the known-answer self-test on the attached "
                         "backend before scanning (one extra compile); "

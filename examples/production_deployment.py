@@ -151,6 +151,46 @@ def main():
     print(f"wideband ({'fused ' + cfg.fused_dtype if cfg.fused else 'XLA'}"
           f" path) decoded: {got}")
     assert any(ch == 17 and ok for ch, ok in got)
+
+    # ---- 4. the flagship LIVE loop: ring -> pipelined wideband scans
+    # -> NDJSON (what `wideband --live --udp N --json` runs forever).
+    # Here the ring is filled in-process with the same scene; a real
+    # deployment attaches runtime.UdpIngest (see tools/bench_live_tpu.py
+    # for the measured sustained-rate figures). scan_async/consume_scan
+    # keep `pipeline` blocks in flight so the host result fetch hides
+    # behind the next block's device compute.
+    if runtime.available():
+        import io
+        import json
+
+        from btle_tpu.stream import NdjsonEmitter
+        from btle_tpu.wideband.stream import WidebandStreamRunner
+
+        live_ring = runtime.IqRingBuffer(1 << 22)
+        step = cfg.scan_len_ch * 20
+        halo = WidebandSniffer(cfg).halo_ch * 20
+        n_live = 2 * step + halo + 1024     # two blocks + lookahead
+        pi = np.zeros(n_live, np.float32)
+        pq = np.zeros(n_live, np.float32)
+        pi[: len(wi)] = wi
+        pq[: len(wq)] = wq
+        inter = np.empty(2 * n_live, np.int16)
+        inter[0::2] = np.clip(np.round(pi * 256), -32768, 32767)
+        inter[1::2] = np.clip(np.round(pq * 256), -32768, 32767)
+        live_ring.write(inter, "i16")
+        out = io.StringIO()
+        runner = WidebandStreamRunner(WidebandSniffer(cfg),
+                                      ndjson=NdjsonEmitter(out))
+        stats = runner.run_live(
+            live_ring,
+            should_stop=lambda: live_ring.available_pairs < step + halo,
+            pipeline=2, scale=1.0 / 256)
+        evs = [json.loads(ln) for ln in out.getvalue().splitlines()]
+        live_pkts = [e for e in evs if e["t"] == "pkt" and e["crc_ok"]]
+        print(f"live loop: {stats.blocks} blocks, {len(live_pkts)} NDJSON "
+              f"packets, {stats.dropped_pairs} ring drops")
+        assert live_pkts and live_pkts[0]["ch"] == 17
+        live_ring.close()
     print("production deployment walkthrough: PASS")
 
 

@@ -195,6 +195,24 @@ class TestWidebandCoded:
 
 
 class TestCli:
+    def test_wideband_coded_roundtrip(self, tmp_path):
+        out = tmp_path / "wbc.bin"
+        r = subprocess.run(
+            [sys.executable, "-m", "btle_tpu", "tx",
+             "17-LL_DATA-AA-8E89BED6-LLID-1-NESN-0-SN-0-MD-0-DATA-CAFE"
+             "-CRCInit-555555-Space-1", "--phy", "coded8",
+             "--wideband-out", str(out)],
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+        r2 = subprocess.run(
+            [sys.executable, "-m", "btle_tpu", "wideband", "--bin",
+             str(out), "--phy", "coded8"],
+            capture_output=True, text=True)
+        assert r2.returncode == 0, r2.stderr
+        ok = [ln for ln in r2.stdout.splitlines()
+              if " crc0 " in ln and ln.startswith("ch17")]
+        assert ok and ok[0].endswith("0102cafe")
+
     @pytest.mark.parametrize("phy", ["coded8", "coded2"])
     def test_tx_decode_loopback(self, tmp_path, phy):
         out = tmp_path / "c.bin"
