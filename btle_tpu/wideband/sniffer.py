@@ -34,15 +34,25 @@ CH_LAG = 4
 
 # Per-phy channel-filter passband default (prototype_filter cutoff, MHz).
 # LE 1M: the classic 1.0 MHz half-channel cutoff (AD9361 pass0.8/stop1.1
-# class). LE 2M: the 2 Msym/s GFSK spectrum extends past +-1 MHz, and the
-# shared 1.0 MHz prototype truncates it (~2-4 dB decode-floor penalty,
-# round-4 measurement). Round-5 sweep over the known-answer 2M scene with
-# AWGN (tools/dev_2m_cutoff.py; decode rate at 0/2/4 dB int8-peak SNR)
-# picked 1.3 MHz: wide enough to pass the 2M main lobe, narrow enough
-# that decimation aliasing (folds start at 4 - cutoff MHz) stays out of
-# the occupied band. See BER_CURVES.md for the resulting 2M anchors.
+# class). LE 2M: the 2 Msym/s GFSK spectrum extends past +-1 MHz, and
+# the 1.0 MHz prototype truncates it (~2-4 dB AWGN decode-floor penalty)
+# — but a 2 MHz-wide signal on the 2 MHz channel grid also OVERLAPS its
+# neighbors on air, so widening the RX filter admits adjacent-channel
+# interference. Both sides measured in round 5:
+#   * AWGN-limited (sparse traffic), tools/dev_2m_cutoff.py: the -4 dB
+#     floor cell decodes 2/40 at 1.0 MHz vs 15/40 at 1.2 (optimal;
+#     1.3 -> 12, 1.4 -> 6 as decimation aliasing folds in from
+#     4 - cutoff MHz); the 1M control keeps 1.0 optimal at 1M.
+#   * Interference-limited (dense simultaneous traffic), the 198-packet
+#     12-connection 2M soak scene (tools/soak_fused_tpu.py --cutoff):
+#     1.0 -> 0 missing, 1.1 -> 5 missing, 1.2 -> 12 missing.
+# The DEFAULT is the interference-robust 1.0; AWGN-limited deployments
+# (long-range links, quiet spectrum) select the sensitivity-optimized
+# CUTOFF_MHZ_2M_SENS via WidebandConfig.cutoff_mhz — it buys ~1 dB at
+# the 2M noise floor (BER_CURVES.md table).
 CUTOFF_MHZ_1M = 1.0
-CUTOFF_MHZ_2M = 1.3
+CUTOFF_MHZ_2M = 1.0
+CUTOFF_MHZ_2M_SENS = 1.2
 
 
 def cutoff_for_phy(phy: str) -> float:
@@ -210,19 +220,20 @@ class WidebandConfig:
     # gate a new backend/config with the known-answer selftest
     # (WidebandSniffer.selftest() / `wideband --selftest`; the CLI runs
     # it automatically on TPU backends). Opt-in "f32" is the bit-level
-    # parity mode: exact -100 dB filterbank via the true-polyphase VPU
-    # inner, 794 Msps (0.99x target) — see PERF.md's dynamic-range
+    # parity mode: exact -100 dB filterbank via the stacked true-
+    # polyphase "polyx" inner, 806-811 Msps = the 10x-real-time target
+    # met in the exact mode too (round 5) — see PERF.md's dynamic-range
     # ladder for the full trade.
     fused_dtype: str = "bf16x2w"
     # LE PHY of the airspace ("1m" | "2m"). 2M rides the SAME 2 MHz
     # channel grid (BLE 5 keeps the channel plan), so the channelizer is
     # unchanged and the per-channel 4 Msps stream simply carries 2
-    # samples/symbol (sps=2, symbol lag 2). The prototype passband
-    # truncates the 2M spectrum's edges (~±1.1 MHz signal in a ±1 MHz
-    # channel): byte-exact at clean SNR; measured on the known-answer
-    # scene the 2M floor sits ~2-4 dB above 1M's (1m 21/21 down to 0 dB;
-    # 2m 17/21 at 0 dB, clean from 4 dB) — beyond the LE-1M-only
-    # reference either way.
+    # samples/symbol (sps=2, symbol lag 2). The default prototype
+    # truncates the 2M spectrum's edges (interference-robust; the
+    # sensitivity-optimized CUTOFF_MHZ_2M_SENS recovers ~1 dB of AWGN
+    # floor at the cost of adjacent-channel rejection — see the cutoff
+    # note above and BER_CURVES.md) — beyond the LE-1M-only reference
+    # either way.
     phy: str = "1m"
     # channel-filter passband (MHz); None = per-phy default
     # (cutoff_for_phy: 1.0 at 1M, 1.3 at 2M — the phy-aware prototype)

@@ -56,12 +56,13 @@ def test_wideband_packets_at_anchor_snr():
 
 def test_wideband_2m_floor_within_2db_of_1m():
     """Tightened pin of the LE-2M wideband floor (round-5 measurement,
-    tools/ber_2m_wideband.py): with the phy-aware 1.2 MHz prototype
-    (sniffer.CUTOFF_MHZ_2M) the 2M scene decodes EVERY packet at +2 dB
-    int8-peak SNR — ~2 dB above 1M's clean point (round 4 could only
-    promise 4 dB with the shared 1.0 MHz filter)."""
+    tools/ber_2m_wideband.py): with the sensitivity-optimized 1.2 MHz
+    prototype (sniffer.CUTOFF_MHZ_2M_SENS — the AWGN-limited deployment
+    option; the interference-robust 1.0 stays the default) the 2M scene
+    decodes EVERY packet at +2 dB int8-peak SNR — ~2 dB above 1M's
+    clean point (round 4 could only promise 4 dB)."""
     from btle_tpu.wideband.selftest import _scene
-    from btle_tpu.wideband.sniffer import (cutoff_for_phy,
+    from btle_tpu.wideband.sniffer import (CUTOFF_MHZ_2M_SENS,
                                            default_scan_tables,
                                            wideband_scan)
 
@@ -76,7 +77,7 @@ def test_wideband_2m_floor_within_2db_of_1m():
         out = wideband_scan(jnp.asarray(wi), jnp.asarray(wq), aa, mask,
                             whiten, crc, adv, sps=2, lag=2,
                             max_candidates=8,
-                            cutoff_mhz=cutoff_for_phy("2m"))
+                            cutoff_mhz=CUTOFF_MHZ_2M_SENS)
         crc_ok = np.asarray(out["crc_ok"])
         pdu = np.asarray(out["pdu_bytes"])
         for ch, exp in expected.items():

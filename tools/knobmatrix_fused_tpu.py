@@ -47,12 +47,15 @@ def config_matrix(full: bool):
     cfgs = []
 
     def add(dtype, inner, tile, decode="pallas", aa_grp=8, expected="pass",
-            phy="1m"):
+            phy="1m", cutoff=None):
         label = f"{dtype}/{inner}/t{tile}/{decode}/grp{aa_grp}" + (
-            "" if phy == "1m" else f"/{phy}")
-        cfgs.append((label, dict(compute_dtype=dtype, inner=inner, tile=tile,
-                                 decode=decode, aa_grp=aa_grp, phy=phy),
-                     expected))
+            "" if phy == "1m" else f"/{phy}") + (
+            "" if cutoff is None else f"/c{cutoff}")
+        cfg = dict(compute_dtype=dtype, inner=inner, tile=tile,
+                   decode=decode, aa_grp=aa_grp, phy=phy)
+        if cutoff is not None:
+            cfg["cutoff_mhz"] = cutoff
+        cfgs.append((label, cfg, expected))
 
     # the two shipped modes (library default + bench mode), both decode
     # paths, plus the known-bad AA_GRP=4 pin on each. "polyx" (stacked
@@ -68,6 +71,8 @@ def config_matrix(full: bool):
     # fused_selftest's cutoff resolution) — hardware-validated round 4/5
     add("bf16x2w", "im2col", t("bf16x2w", "im2col"), phy="2m")
     add("f32", "polyx", t("f32", "polyx"), phy="2m")
+    # the 2M sensitivity-optimized filter option (CUTOFF_MHZ_2M_SENS)
+    add("bf16x2w", "im2col", t("bf16x2w", "im2col"), phy="2m", cutoff=1.2)
     # round-4 exact-f32 default (kept as a supported non-default mode)
     add("f32", "poly", t("f32", "poly"))
     # round-5: dual hi/lo operand/weight split (all-MXU slot-exact form;

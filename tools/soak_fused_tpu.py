@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--dtype", default="bf16x2w",
                     choices=["bf16x2w", "f32", "xla"])
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cutoff", type=float, default=None,
+                    help="channel-filter cutoff MHz override "
+                         "(default: per-phy, sniffer.cutoff_for_phy)")
     ap.add_argument("--connections", type=int, default=0,
                     help="also follow N concurrent connections (<=12): "
                          "CONNECT_REQs + per-connection data packets "
@@ -206,6 +209,7 @@ def main():
           f"({time.time()-t0:.1f}s)", flush=True)
 
     cfg = WidebandConfig(phy=args.phy, fused=args.dtype != "xla",
+                         cutoff_mhz=args.cutoff,
                          fused_dtype=args.dtype if args.dtype != "xla" else "f32",
                          follow_connections=args.connections > 0,
                          max_follow=max(1, args.connections),
