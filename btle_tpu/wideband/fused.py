@@ -137,6 +137,47 @@ def _g_chunks_hilo(num_taps: int, cutoff_mhz: float = 1.0) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _g_chunks_pair(num_taps: int, cutoff_mhz: float = 1.0,
+                   hilo: bool = False) -> np.ndarray:
+    """(N_CHUNKS, 80|160, chunk_pairs*80) PAIR-STACKED im2col weights.
+
+    The im2col copies are the bf16 modes' Mosaic-roll cost (65 unaligned
+    slices per tile). Like the polyx inner, stacking the frames with a
+    1-column-left-shifted copy ([f; f<<1], 80 rows) lets ONE slice at
+    offset 2j deliver shifts 2j AND 2j+1: 35 copies replace 65 at +8%
+    matmul FLOPs (the shift axis pads 65 -> 70). MEASURED A WASH on
+    v5e (round 5, bench config: im2colp-t2048 1057 Msps vs im2col-t2048
+    1062; t3072 1047, t1024 1003) — unlike the f32 poly path, the
+    (40, ycols) bf16 slice copies were never the im2col bound, so the
+    extra MXU work cancels the saving; kept as an interpret-exact
+    documented mode. Column layout:
+    X[j*80 + i, k] = F[i, k + base + 2j] for i < 40 (shift 2j) and
+    F[i-40, k + base + 2j + 1] for i >= 40 (shift 2j+1), with base =
+    c * chunk_pairs * 2; weights are rearranged to match. hilo=True
+    stacks the exact bf16 hi/lo weight pair on the output-row axis
+    (rows [hi; lo], same trick as _g_chunks_hilo).
+    """
+    g = _g_stack(num_taps, cutoff_mhz)   # (width, 80, 40)
+    width = g.shape[0]
+    pairs_total = -(-width // 2)
+    chunk_p = -(-pairs_total // N_CHUNKS)            # pairs per chunk
+    gp = np.zeros((N_CHUNKS * chunk_p * 2, 2 * M, 2 * D), g.dtype)
+    gp[:width] = g
+    # gc[c][o, j*80 + q*40 + i] = gp[(c*chunk_p + j)*2 + q][o, i]
+    gc = gp.reshape(N_CHUNKS, chunk_p * 2, 2 * M, 2 * D)
+    gc = np.transpose(gc, (0, 2, 1, 3)).reshape(
+        N_CHUNKS, 2 * M, chunk_p * 2 * 2 * D)
+    gc = np.ascontiguousarray(gc).astype(np.float32)
+    if not hilo:
+        return gc
+    import ml_dtypes
+
+    hi = gc.astype(ml_dtypes.bfloat16).astype(np.float32)
+    lo = (gc - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
+    return np.ascontiguousarray(np.concatenate([hi, lo], axis=1))
+
+
+@lru_cache(maxsize=None)
 def _g_chunks_x2(num_taps: int, cutoff_mhz: float = 1.0) -> np.ndarray:
     """(N_CHUNKS, 160, chunk*80) weights for the "f32x2" parity mode.
 
@@ -315,23 +356,30 @@ def _ycols(tile: int, sps: int, lag: int) -> int:
     return tile + max((AA_BITS - 1) * sps + lag, AA_BITS * sps - 1)
 
 
-def _fcols(tile: int, width: int, sps: int, lag: int) -> int:
+def _fcols(tile: int, width: int, sps: int, lag: int,
+           pair: bool = False) -> int:
     """Frame columns DMA'd per tile, rounded up to the 128-lane tiling
     (Mosaic requires DMA slice shapes aligned to the lane tile). Covers
-    the im2col chunk padding (shifts up to N_CHUNKS*chunk - 1)."""
-    width_pad = N_CHUNKS * (-(-width // N_CHUNKS))
+    the im2col chunk padding (shifts up to N_CHUNKS*chunk - 1; the
+    pair-stacked inner pads the shift axis to 2*N_CHUNKS*chunk_pairs)."""
+    if pair:
+        width_pad = 2 * N_CHUNKS * (-(-(-(-width // 2)) // N_CHUNKS))
+    else:
+        width_pad = N_CHUNKS * (-(-width // N_CHUNKS))
     need = _ycols(tile, sps, lag) + width_pad - 1
     return -(-need // 128) * 128
 
 
 def _kernel(f_hbm, g_ref, w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
             mag_ref, fbuf, xbuf, sem, *, tile: int, width: int, sps: int,
-            lag: int, inner: str, fb_rows: int = 2 * D, dev_skip: str = ""):
+            lag: int, inner: str, fb_rows: int = 2 * D,
+            shift_step: int = 1, dev_skip: str = ""):
     T = tile
     ycols = _ycols(T, sps, lag)
     i = pl.program_id(0)
     cp = pltpu.make_async_copy(
-        f_hbm.at[:, pl.ds(i * T, _fcols(T, width, sps, lag))], fbuf, sem)
+        f_hbm.at[:, pl.ds(i * T, _fcols(T, width, sps, lag,
+                                        pair=shift_step == 2))], fbuf, sem)
     cp.start()
     cp.wait()
 
@@ -360,7 +408,7 @@ def _kernel(f_hbm, g_ref, w4_ref, ts_ref, nmask_ref, bits_ref, hit_ref,
         for c in range(N_CHUNKS):
             if "col" not in dev_skip:   # dev-only stage timing knob
                 for j in range(chunk):
-                    s = c * chunk + j
+                    s = (c * chunk + j) * shift_step
                     xbuf[j * fb_rows : (j + 1) * fb_rows, :] = \
                         fbuf[:, s : s + ycols]
             if "mm" in dev_skip:        # dev-only stage timing knob
@@ -693,8 +741,9 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
         tile = _default_tile(compute_dtype, inner)
     hilo = compute_dtype == "bf16x2w"
     x2 = compute_dtype == "f32x2"
-    assert not ((hilo or x2) and inner != "im2col"), \
-        "bf16x2w/f32x2 need the im2col inner"
+    assert not (hilo and inner not in ("im2col", "im2colp")), \
+        "bf16x2w needs an im2col inner"
+    assert not (x2 and inner != "im2col"), "f32x2 needs the im2col inner"
     cdtype = (jnp.bfloat16 if compute_dtype in ("bf16", "bf16x2w", "f32x2")
               else jnp.float32)
     g = _g_stack(num_taps, cutoff_mhz)
@@ -791,11 +840,24 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
             vm((2 * D, _ycols(T, sps, lag)), jnp.float32),
         ]
     else:
-        frames = f_t
-        fb_rows = 4 * D if x2 else 2 * D
-        if inner == "im2col":
+        pair = inner == "im2colp"
+        if pair:
+            # pair-stacked frames [f; f<<1]: one im2col copy per TWO
+            # shifts (the polyx trick on the MXU path); fcols covers the
+            # padded 70-shift axis
+            fcols = _fcols(T, width, sps, lag, pair=True)
+            j_pad2 = (n_tiles - 1) * T + fcols
+            fpad = jnp.pad(f_t, ((0, 0), (0, max(0, j_pad2 + 1 - f_t.shape[1]))))
+            frames = jnp.concatenate([fpad[:, :j_pad2],
+                                      fpad[:, 1 : j_pad2 + 1]], axis=0)
+            fb_rows = 4 * D
+        else:
+            frames = f_t
+            fb_rows = 4 * D if x2 else 2 * D
+        if inner in ("im2col", "im2colp"):
             gk = jnp.asarray(
-                _g_chunks_x2(num_taps, cutoff_mhz) if x2
+                _g_chunks_pair(num_taps, cutoff_mhz, hilo=hilo) if pair
+                else _g_chunks_x2(num_taps, cutoff_mhz) if x2
                 else _g_chunks_hilo(num_taps, cutoff_mhz) if hilo
                 else _g_chunks(num_taps, cutoff_mhz), cdtype)
             chunk = gk.shape[2] // fb_rows
@@ -808,7 +870,8 @@ def fused_frontend(i_wb, q_wb, aa_rows, aa_mask, num_taps: int = DEFAULT_TAPS,
                                   lambda i: (0, 0, 0), memory_space=vm)
             x_scratch = vm((8, 128), cdtype)  # unused placeholder
         kern = partial(_kernel, tile=T, width=width, sps=sps, lag=lag,
-                       inner=inner, fb_rows=fb_rows, dev_skip=dev_skip)
+                       inner="im2col" if pair else inner, fb_rows=fb_rows,
+                       shift_step=2 if pair else 1, dev_skip=dev_skip)
         weights = (gk,)
         w_specs = [g_spec]
         scratch = [vm((fb_rows, fcols), cdtype), x_scratch]

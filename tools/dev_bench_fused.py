@@ -500,3 +500,19 @@ if which == "polyx4":
             measure(stepw, f"polyx4-t{tile}", iters=192, trials=3)
         except Exception as e:
             print(f"polyx4-t{tile}: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)
+
+
+if which == "pairs":
+    # round-5: pair-stacked im2col copies for the bf16 modes
+    for dtype, inner, tile in (("bf16x2w", "im2col", 2048), ("bf16x2w", "im2colp", 2048),
+                               ("bf16x2w", "im2colp", 3072), ("bf16x2w", "im2colp", 1024)):
+        @jax.jit
+        def stepw(i, q, _d=dtype, _i=inner, _t=tile):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                      tile=_t, compute_dtype=_d, inner=_i)
+            return checksum(out)
+        try:
+            measure(stepw, f"{dtype}-{inner}-t{tile}", iters=192, trials=3)
+        except Exception as e:
+            print(f"{dtype}-{inner}-t{tile}: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)
