@@ -39,7 +39,6 @@ from ..phy.demodulator import phase_diff
 from ..phy.viterbi import viterbi_decode
 from ..spec import bits as B
 from ..spec import coded as K
-from ..spec import crc24 as C
 from ..spec import whitening as W
 
 MAX_PDU_BYTES = 42                    # 2 header + 1..39 payload + margin
@@ -69,9 +68,9 @@ def _ci_patterns_pm(access_address_hex: str) -> np.ndarray:
     return np.stack(out)
 
 
-@partial(jax.jit, static_argnames=("sps", "s2", "max_candidates"))
+@partial(jax.jit, static_argnames=("sps", "max_candidates"))
 def coded_sync_and_decode(i, q, aa_pm, ci_pm, whiten_bits, crc_init_bits,
-                          sps: int, s2: int, max_candidates: int = 4):
+                          sps: int, max_candidates: int = 4):
     """One block -> coded candidate arrays.
 
     aa_pm (256,), ci_pm (2, 40): +-1 patterns from the helpers above.
@@ -197,7 +196,7 @@ def decode_coded(i, q, channel: int, sps: int = 4,
     crc_init = jnp.asarray(B.hex_to_bits(crc_init_hex))
     out = coded_sync_and_decode(
         jnp.asarray(i, jnp.float32), jnp.asarray(q, jnp.float32),
-        aa_pm, ci_pm, whiten, crc_init, sps=sps, s2=8,
+        aa_pm, ci_pm, whiten, crc_init, sps=sps,
         max_candidates=max_candidates)
     out = {k: np.asarray(v) for k, v in out.items()}
     pkts = []

@@ -30,7 +30,7 @@ exactly like the UDP ControlServer — the two are drop-in alternates.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

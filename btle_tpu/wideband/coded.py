@@ -36,7 +36,7 @@ def wideband_scan_coded(i_wb, q_wb, aa_pm, ci_pm, whiten_rows, crc_init_bits,
 
     def one(i, q, wh):
         return coded_sync_and_decode(i, q, aa_pm, ci_pm, wh, crc_init_bits,
-                                     sps=sps, s2=8,
+                                     sps=sps,
                                      max_candidates=max_candidates)
 
     return jax.vmap(one, in_axes=(0, 0, 0))(y_i, y_q, whiten_rows)

@@ -24,10 +24,9 @@ running rescan count.
 
 from __future__ import annotations
 
-import sys
 import time
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -51,7 +51,6 @@ def main():
     import jax
 
     from btle_tpu import runtime
-    from btle_tpu.spec import bits as B
     from btle_tpu.tx import parse_descriptor
     from btle_tpu.tx.synth import scene_to_wideband
     from btle_tpu.wideband import WidebandConfig, WidebandSniffer
