@@ -84,7 +84,9 @@ def viterbi_decode(la, lb, n_valid):
         dec = jnp.where(v, take1, False)
         return pm_next, dec
 
-    pm_end, decs = jax.lax.scan(fwd, pm0, (la, lb, valid))
+    # unroll amortizes the per-step scan overhead across the 363-step
+    # trellis (the sequential dependency itself is irreducible)
+    pm_end, decs = jax.lax.scan(fwd, pm0, (la, lb, valid), unroll=8)
 
     def back(state, inp):
         dec_i, v = inp
@@ -95,7 +97,7 @@ def viterbi_decode(la, lb, n_valid):
         return nstate, jnp.where(v, bit, jnp.int8(0))
 
     _, bits_rev = jax.lax.scan(back, jnp.int32(0), (decs, valid),
-                               reverse=True)
+                               reverse=True, unroll=8)
     return bits_rev, pm_end[0]
 
 

@@ -39,12 +39,19 @@ from ..phy.demodulator import phase_diff
 from ..phy.viterbi import viterbi_decode
 from ..spec import bits as B
 from ..spec import coded as K
+from ..spec import crc24 as C
 from ..spec import whitening as W
 
 MAX_PDU_BYTES = 42                    # 2 header + 1..39 payload + margin
 MAX_PDU_BITS = MAX_PDU_BYTES * 8
 MAX_FEC2_IN = MAX_PDU_BITS + 24 + K.N_TERM
 THR_FRAC = 0.78                       # AA sync agreement threshold
+# GF(2)-matmul prefix CRC over the 45-byte body window (42 PDU + 3 CRC)
+# — same reformulation as the uncoded decode (rx.pipeline): replaces a
+# 336-step bit-serial lax.scan per candidate with two matmuls
+_CRC_V45, _CRC_MINIT45 = C.linear_crc_matrices(MAX_PDU_BYTES + 3)
+_BYTE_W = np.array([1, 2, 4, 8, 16, 32, 64, 128], np.int32)
+_STATE_W = (2.0 ** np.arange(24)).astype(np.float32)
 
 
 def _aa_pattern_pm(access_address_hex: str) -> np.ndarray:
@@ -69,50 +76,63 @@ def _ci_patterns_pm(access_address_hex: str) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("sps", "max_candidates"))
-def coded_sync_and_decode(i, q, aa_pm, ci_pm, whiten_bits, crc_init_bits,
+def coded_sync_and_decode(i, q, aa_pm, ci_pm, whiten_bits, crc_init_table,
                           sps: int, max_candidates: int = 4):
     """One block -> coded candidate arrays.
 
     aa_pm (256,), ci_pm (2, 40): +-1 patterns from the helpers above.
-    whiten_bits (MAX_PDU_BITS+24,), crc_init_bits (24,).
+    whiten_bits (MAX_PDU_BITS+24,), crc_init_table: table-order init
+    int (spec.crc24.lfsr_init_to_table_init).
     Returns dict of (max_candidates, ...) arrays: pos (symbol-lattice
     sample index of the AA start), valid, ci_s2 (detected S), crc_ok,
     payload_len, pdu_bits (MAX_PDU_BITS,).
     """
+    from .pipeline import earliest_hits
+
     d = phase_diff(i, q, sps)                     # soft, len N - sps
     n = d.shape[0]
 
-    # hard sign-agreement correlation of the coded AA (256 symbols)
+    # hard sign-agreement correlation of the coded AA (256 symbols) as
+    # ONE symbol-dilated conv (the uncoded aa_match_counts form scaled
+    # to 256 taps — a per-position gather of (n, 256) was ~40x slower
+    # through XLA on TPU)
     sgn = jnp.where(d > 0, 1.0, -1.0)
     span_aa = 256 * sps
     # sync may land anywhere the AA pattern fits; the FEC2 window reads
     # are clipped (a packet near the block end decodes as far as the
     # samples allow — the header length + CRC still gate correctness)
     n_corr = max(n - span_aa, 1)
-    idx = jnp.arange(n_corr)[:, None] + jnp.arange(256)[None, :] * sps
-    agree = (sgn[idx] * aa_pm[None, :] > 0).sum(axis=1)
+    # phase-split: positions == p (mod sps) form an UNdilated 256-tap
+    # conv over the phase-p symbol subsequence — TPU lowers this far
+    # better than a 1-channel rhs-dilated conv (27 -> ~3 ms/8.2ms
+    # block), and the sps phases batch on the conv's N axis. DEFAULT
+    # precision is EXACT here: +-1 operands and sums <= 256 are
+    # bf16-representable with f32 accumulation.
+    m = (n_corr + sps - 1) // sps + 256
+    pad_to = m * sps
+    sgp = jnp.pad(sgn, (0, max(0, pad_to - sgn.shape[0])))[: pad_to]
+    lhs = sgp.reshape(m, sps).T[:, None, :]            # (sps, 1, m)
+    corr_p = jax.lax.conv_general_dilated(
+        lhs, aa_pm[None, None, :],
+        window_strides=(1,), padding="VALID",
+        preferred_element_type=jnp.float32)[:, 0, :]   # (sps, m-255)
+    corr = corr_p.T.reshape(-1)[:n_corr]               # interleave phases
+    agree = (corr + 256.0) * 0.5                       # matches = (corr+N)/2
 
-    thr = jnp.int32(int(256 * THR_FRAC))
+    thr = jnp.float32(int(256 * THR_FRAC))
     # peak-gate: a hit must also be the agreement maximum within its
     # +-(sps-1) phase neighborhood — threshold-earliest alone syncs one
     # sample off-center (the neighbor phase crosses the threshold first)
     # and off-center soft metrics corrupt the S=2 Viterbi input
-    pad = sps - 1
-    ap = jnp.pad(agree, (pad, pad), constant_values=-1)
-    win = jax.vmap(lambda k: jax.lax.dynamic_slice(
-        ap, (k,), (2 * sps - 1,)).max())(jnp.arange(n_corr))
+    win = jax.lax.reduce_window(
+        agree, -jnp.inf, jax.lax.max, (2 * sps - 1,), (1,), "SAME")
     hit = (agree >= thr) & (agree >= win)
-    # earliest max_candidates hits with span-eating (one packet per
-    # coded-AA span): a hit suppresses further hits for span_aa samples
-    def eat(carry, k):
-        nxt = carry
-        h = hit[k] & (k >= nxt)
-        return jnp.where(h, k + span_aa, nxt), h
-
-    _, kept = jax.lax.scan(eat, jnp.int32(0), jnp.arange(n_corr))
-    pos_all = jnp.nonzero(kept, size=max_candidates, fill_value=-1)[0]
-    valid = pos_all >= 0
-    pos = jnp.clip(pos_all, 0, n_corr - 1)
+    # earliest max_candidates hits (hierarchical selection — the 256-
+    # symbol pattern has one peak-gated hit per packet, so explicit
+    # span-eating is unnecessary; duplicates would CRC-gate anyway)
+    pos_sel, valid, _num = earliest_hits(hit, max_candidates, 0)
+    pos_all = jnp.where(valid, pos_sel, -1)
+    pos = jnp.clip(pos_sel, 0, n_corr - 1)
 
     def decode_one(p):
         # CI detection: agreement of the 40 CI/TERM1 symbols
@@ -150,27 +170,27 @@ def coded_sync_and_decode(i, q, aa_pm, ci_pm, whiten_bits, crc_init_bits,
         body = bits[: MAX_PDU_BITS + 24] ^ whiten_bits.astype(jnp.int8)
         pdu_bits = body[:MAX_PDU_BITS]
 
-        # length from the de-whitened header, CRC over the true span
+        # length from the de-whitened header; CRC over the true span via
+        # the GF(2) prefix matmuls (exact: parity counts <= 360 in f32)
         plen = jnp.clip(
             jnp.sum(pdu_bits[8:16].astype(jnp.int32)
                     << jnp.arange(8, dtype=jnp.int32)), 0, MAX_PDU_BYTES - 2)
-        n_pdu = (2 + plen) * 8
-        # bit-serial CRC as a masked scan (static length)
-        def crc_step(state, k):
-            b = jnp.where(k < n_pdu, body[k], 0)
-            fb = (state[23] + b) % 2
-            nxt = jnp.roll(state, 1)
-            nxt = nxt.at[0].set(fb)
-            for t in (1, 3, 4, 6, 9, 10):
-                nxt = nxt.at[t].set((state[t - 1] + fb) % 2)
-            return jnp.where(k < n_pdu, nxt, state), 0
-
-        st0 = crc_init_bits.astype(jnp.int32)
-        st, _ = jax.lax.scan(crc_step, st0,
-                             jnp.arange(MAX_PDU_BITS, dtype=jnp.int32))
-        crc_calc = st[::-1].astype(jnp.int8)
-        crc_rx = jnp.take(body, n_pdu + jnp.arange(24), mode="clip")
-        crc_ok = jnp.all(crc_calc == crc_rx.astype(jnp.int8))
+        body_f = body.astype(jnp.float32)
+        contrib = jnp.dot(body_f, jnp.asarray(_CRC_V45))
+        init_bits = ((crc_init_table >> jnp.arange(24)) & 1
+                     ).astype(jnp.float32)
+        state_bits = (contrib + jnp.dot(init_bits, jnp.asarray(_CRC_MINIT45))
+                      ).astype(jnp.int32) & 1
+        states = jnp.dot(
+            state_bits.reshape(MAX_PDU_BYTES + 3, 24).astype(jnp.float32),
+            jnp.asarray(_STATE_W)).astype(jnp.int32)
+        body_bytes = jnp.dot(
+            body_f.reshape(MAX_PDU_BYTES + 3, 8),
+            jnp.asarray(_BYTE_W, jnp.float32)).astype(jnp.int32)
+        crc_state = states[plen + 1]        # after 2 header + plen bytes
+        crc_rcv = (body_bytes[plen + 2] + body_bytes[plen + 3] * 256
+                   + body_bytes[plen + 4] * 65536)
+        crc_ok = crc_state == crc_rcv
         return s_det, plen, crc_ok, pdu_bits
 
     s_det, plen, crc_ok, pdu_bits = jax.vmap(decode_one)(pos)
@@ -193,7 +213,7 @@ def decode_coded(i, q, channel: int, sps: int = 4,
     ci_pm = jnp.asarray(_ci_patterns_pm(access_address_hex))
     whiten = jnp.asarray(
         W.whitening_bits(channel, MAX_PDU_BITS + 24))
-    crc_init = jnp.asarray(B.hex_to_bits(crc_init_hex))
+    crc_init = jnp.int32(C.lfsr_init_to_table_init(crc_init_hex))
     out = coded_sync_and_decode(
         jnp.asarray(i, jnp.float32), jnp.asarray(q, jnp.float32),
         aa_pm, ci_pm, whiten, crc_init, sps=sps,

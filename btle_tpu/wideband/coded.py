@@ -19,6 +19,7 @@ import numpy as np
 from ..rx.coded import (MAX_PDU_BITS, _aa_pattern_pm, _ci_patterns_pm,
                         coded_sync_and_decode)
 from ..spec import bits as B
+from ..spec import crc24 as C
 from ..spec import whitening as W
 from .channelizer import DEFAULT_TAPS, M, bin_to_channel, channelize
 from .sniffer import cutoff_for_phy
@@ -50,7 +51,7 @@ def coded_scan_tables(access_address_hex: str = "d6be898e",
     whiten = jnp.asarray(np.stack(
         [W.whitening_bits(bin_to_channel(m), MAX_PDU_BITS + 24)
          for m in range(M)]))
-    crc_init = jnp.asarray(B.hex_to_bits(crc_init_hex))
+    crc_init = jnp.int32(C.lfsr_init_to_table_init(crc_init_hex))
     return aa_pm, ci_pm, whiten, crc_init
 
 
