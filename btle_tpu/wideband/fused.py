@@ -635,7 +635,9 @@ def _kernel_polyx(f_hbm, kc_ref, w_ref, w4_ref, ts_ref, nmask_ref, bits_ref,
     # slices chained in registers per acc store: a slice is stack x the
     # poly inner's 40 rows, so divide the group by stack to keep the
     # Mosaic stack at the poly inner's proven liveness (group 8 chains
-    # of (80, ycols) measured 18.95M scoped VMEM at tile 3072 — OOM)
+    # of (80, ycols) measured 18.95M scoped VMEM at tile 3072 — OOM).
+    # Round-5 sweep at t3072 confirms 4 optimal: pg3 -> 808, pg4 -> 809,
+    # pg5 -> 805, pg6 -> 799 Msps, pg8 exceeds scoped VMEM.
     group = max(1, _POLY_GROUP // stack)
     if "pg" in dev_skip:
         group = int(dev_skip.split("pg")[1].split(",")[0])

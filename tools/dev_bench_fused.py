@@ -516,3 +516,19 @@ if which == "pairs":
             measure(stepw, f"{dtype}-{inner}-t{tile}", iters=192, trials=3)
         except Exception as e:
             print(f"{dtype}-{inner}-t{tile}: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)
+
+
+if which == "pgx":
+    # round-5: polyx register-chain group sweep at the shipped tile
+    for pg in (3, 4, 5, 6, 8):
+        @jax.jit
+        def stepw(i, q, _pg=pg):
+            out = wideband_scan_fused(i, q, aa_bits, aa_mask, whiten_rows, crc_inits, adv_flags,
+                                      sps=4, lag=LAG, max_candidates=16, num_taps=DEFAULT_TAPS,
+                                      tile=3072, compute_dtype="f32", inner="polyx",
+                                      dev_skip=f"pg{_pg}")
+            return checksum(out)
+        try:
+            measure(stepw, f"polyx-t3072-pg{pg}", iters=192, trials=3)
+        except Exception as e:
+            print(f"polyx-t3072-pg{pg}: FAILED {type(e).__name__}: {str(e)[:100]}", flush=True)

@@ -91,6 +91,7 @@ def config_matrix(full: bool):
                     add(dtype, inner, tile, expected="info")
         # non-default combinations someone could reasonably deploy
         add("bf16", "im2col", t("bf16", "im2col"))
+        add("bf16x2w", "im2colp", t("bf16x2w", "im2colp"))
         add("bf16", "poly", t("bf16", "poly"))
         add("f32", "im2col", t("f32", "im2col"))
         add("f32", "polyroll", t("f32", "polyroll"))
