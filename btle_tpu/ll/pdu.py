@@ -26,7 +26,12 @@ class AdvPduType(IntEnum):
     SCAN_RSP = 4
     CONNECT_REQ = 5
     ADV_SCAN_IND = 6
-    RESERVED0 = 7
+    # BLE 5 extended advertising (Core Vol 6 Part B 2.3.4): type 7 is
+    # ADV_EXT_IND on a primary channel and AUX_ADV_IND / AUX_SYNC_IND /
+    # AUX_CHAIN_IND etc. on secondary channels — one wire value, the
+    # Common Extended Advertising Payload format either way. The
+    # reference parses only legacy types 0-6.
+    ADV_EXT_IND = 7
     RESERVED1 = 8
     RESERVED2 = 9
     RESERVED3 = 10
@@ -113,6 +118,29 @@ def _rev(b) -> bytes:
 
 
 @dataclass
+class ExtAdvFields:
+    """Common Extended Advertising Payload (Core Vol 6 Part B 2.3.4):
+    [ExtHdrLen(6b) | AdvMode(2b)] [Flags(1)] [fields in flag order]
+    [AdvData]. Field order when present: AdvA(6) TargetA(6) CTEInfo(1)
+    ADI(2) AuxPtr(3) SyncInfo(18) TxPower(1) — beyond-reference (the C
+    tool stops at legacy type 6, so every BLE 5 extended/coded
+    advertiser is invisible to it)."""
+
+    adv_mode: int = 0                # 0 non-conn/scan, 1 conn, 2 scan
+    adv_a: bytes | None = None       # display order
+    target_a: bytes | None = None
+    cte_info: int | None = None
+    adi_did: int | None = None       # 12-bit Advertising Data ID
+    adi_sid: int | None = None       # 4-bit Advertising Set ID
+    aux_chan: int | None = None      # AuxPtr: channel index
+    aux_ca: int | None = None        #         clock accuracy bit
+    aux_offset_us: int | None = None #         offset in microseconds
+    aux_phy: int | None = None       #         0=1M 1=2M 2=coded
+    sync_info: bytes | None = None   # 18 raw bytes (periodic adv)
+    tx_power: int | None = None      # signed dBm
+
+
+@dataclass
 class AdvPayload:
     """Parsed ADV payload; populated fields depend on pdu_type."""
 
@@ -131,6 +159,8 @@ class AdvPayload:
     chm: bytes | None = None         # 5 bytes display order (0x1F first)
     hop: int | None = None
     sca: int | None = None
+    # ADV_EXT_IND / AUX_* extras (BLE 5 extended advertising)
+    ext: "ExtAdvFields | None" = None
 
 
 def parse_adv_payload(payload, pdu_type: AdvPduType) -> AdvPayload:
@@ -140,9 +170,13 @@ def parse_adv_payload(payload, pdu_type: AdvPduType) -> AdvPayload:
     """
     p = _as_bytes(payload)
     n = len(p)
-    if n < 6:
-        raise ValueError(f"ADV payload too short ({n} bytes)")
     t = AdvPduType(pdu_type)
+    # legacy PDUs start with a 6-byte MAC; extended payloads can be as
+    # short as the 1-byte [len|AdvMode] header
+    if n < 6 and t != AdvPduType.ADV_EXT_IND:
+        raise ValueError(f"ADV payload too short ({n} bytes)")
+    if n < 1:
+        raise ValueError("ADV payload empty")
     out = AdvPayload()
     if t in (AdvPduType.ADV_IND, AdvPduType.ADV_NONCONN_IND, AdvPduType.SCAN_RSP, AdvPduType.ADV_SCAN_IND):
         out.adv_a = _rev(p[0:6])
@@ -171,9 +205,103 @@ def parse_adv_payload(payload, pdu_type: AdvPduType) -> AdvPayload:
         out.chm = _rev(p[28:33])
         out.hop = p[33] & 0x1F
         out.sca = (p[33] >> 5) & 0x07
+    elif t == AdvPduType.ADV_EXT_IND:
+        out.ext = parse_ext_adv_payload(p)
+        out.adv_a = out.ext.adv_a
+        out.data = p[1 + (p[0] & 0x3F):]         # AdvData after ext header
     else:
         out.data = p
     return out
+
+
+def parse_ext_adv_payload(p: bytes) -> ExtAdvFields:
+    """Common Extended Advertising Payload parser (Core 2.3.4.x)."""
+    if len(p) < 1:
+        raise ValueError("extended ADV payload empty")
+    hdr_len = p[0] & 0x3F
+    out = ExtAdvFields(adv_mode=(p[0] >> 6) & 0x3)
+    if 1 + hdr_len > len(p):
+        raise ValueError(f"extended header length {hdr_len} exceeds "
+                         f"payload ({len(p)} bytes)")
+    hdr = p[1 : 1 + hdr_len]
+    off = 0
+    flags = 0
+    if hdr_len:
+        flags = hdr[0]
+        off = 1
+
+    def take(n, what):
+        nonlocal off
+        if off + n > len(hdr):
+            raise ValueError(f"extended header truncated in {what}")
+        v = hdr[off : off + n]
+        off += n
+        return v
+
+    if flags & 0x01:
+        out.adv_a = _rev(take(6, "AdvA"))
+    if flags & 0x02:
+        out.target_a = _rev(take(6, "TargetA"))
+    if flags & 0x04:
+        out.cte_info = take(1, "CTEInfo")[0]
+    if flags & 0x08:
+        adi = int.from_bytes(take(2, "ADI"), "little")
+        out.adi_did = adi & 0x0FFF
+        out.adi_sid = (adi >> 12) & 0xF
+    if flags & 0x10:
+        aux = int.from_bytes(take(3, "AuxPtr"), "little")
+        out.aux_chan = aux & 0x3F
+        out.aux_ca = (aux >> 6) & 1
+        units = 300 if (aux >> 7) & 1 else 30
+        out.aux_offset_us = ((aux >> 8) & 0x1FFF) * units
+        out.aux_phy = (aux >> 21) & 0x7
+    if flags & 0x20:
+        out.sync_info = bytes(take(18, "SyncInfo"))
+    if flags & 0x40:
+        tp = take(1, "TxPower")[0]
+        out.tx_power = tp - 256 if tp >= 128 else tp
+    return out
+
+
+def build_ext_adv_payload(adv_mode: int = 0, adv_a: bytes | None = None,
+                          target_a: bytes | None = None,
+                          adi: tuple[int, int] | None = None,
+                          aux_ptr: tuple[int, int, int, int] | None = None,
+                          tx_power: int | None = None,
+                          adv_data: bytes = b"") -> bytes:
+    """Inverse of parse_ext_adv_payload (TX side; display-order MACs).
+
+    adi = (did, sid); aux_ptr = (chan, ca, offset_us, phy).
+    """
+    hdr = bytearray()
+    flags = 0
+    if adv_a is not None:
+        flags |= 0x01
+        hdr += bytes(adv_a)[::-1]
+    if target_a is not None:
+        flags |= 0x02
+        hdr += bytes(target_a)[::-1]
+    if adi is not None:
+        flags |= 0x08
+        did, sid = adi
+        hdr += ((did & 0x0FFF) | ((sid & 0xF) << 12)).to_bytes(2, "little")
+    if aux_ptr is not None:
+        flags |= 0x10
+        chan, ca, offset_us, phy = aux_ptr
+        units_flag = 1 if offset_us >= 30 * 0x1FFF else 0
+        off = offset_us // (300 if units_flag else 30)
+        aux = ((chan & 0x3F) | ((ca & 1) << 6) | (units_flag << 7)
+               | ((off & 0x1FFF) << 8) | ((phy & 0x7) << 21))
+        hdr += aux.to_bytes(3, "little")
+    if tx_power is not None:
+        flags |= 0x40
+        hdr += bytes([tx_power & 0xFF])
+    body = (bytes([flags]) + bytes(hdr)) if (flags or hdr) else b""
+    hdr_len = len(body)
+    if hdr_len > 63:
+        raise ValueError("extended header exceeds 63 bytes")
+    return bytes([(hdr_len & 0x3F) | ((adv_mode & 0x3) << 6)]) \
+        + body + bytes(adv_data)
 
 
 def extract_adv_a(payload: AdvPayload, pdu_type: AdvPduType) -> bytes | None:

@@ -37,6 +37,7 @@ ADV_PKT_TYPES = {
     "SCAN_REQ": 3,
     "SCAN_RSP": 4,
     "CONNECT_REQ": 5,
+    "ADV_EXT_IND": 7,     # BLE 5 extended advertising (beyond-reference)
     "IBEACON": 0,         # uses the ADV_IND header type (btle_tx.c:2210)
 }
 
@@ -244,7 +245,8 @@ def parse_descriptor(desc: str) -> PacketSpec:
         return spec
 
     if pkt_type in ("DISCOVERY", "ADV_IND", "ADV_NONCONN_IND", "ADV_SCAN_IND",
-                    "ADV_DIRECT_IND", "SCAN_REQ", "SCAN_RSP", "CONNECT_REQ"):
+                    "ADV_DIRECT_IND", "SCAN_REQ", "SCAN_RSP", "CONNECT_REQ",
+                    "ADV_EXT_IND"):
         return _parse_adv(channel, pkt_type, fs)
     if pkt_type == "IBEACON":
         return _parse_ibeacon(channel, fs)
@@ -291,6 +293,19 @@ def _parse_adv(channel: int, pkt_type: str, fs: _Fields) -> PacketSpec:
         payload = (init_a + adv_a + aa + crcinit + winsize + winoffset
                    + interval + latency + timeout + chm
                    + bytes([(hop & 0x1F) | ((sca & 0x7) << 5)]))
+    elif pkt_type == "ADV_EXT_IND":
+        # BLE 5 extended advertising (Core Vol 6 Part B 2.3.4; the
+        # coded PHY's native ADV format) — beyond the reference's 25
+        # types. Grammar: -AdvMode-N-AdvA-hex-AdvData-hex[-Space-ms]
+        from ..ll.pdu import build_ext_adv_payload
+
+        adv_mode = fs.name_value("ADVMODE")
+        adv_a = fs.name_hex("ADVA", True, 6)       # on-air order
+        data = fs.name_hex("ADVDATA", False, 31)
+        payload = build_ext_adv_payload(
+            adv_mode, adv_a=adv_a[::-1], adv_data=data)
+        f.update(adv_mode=adv_mode, adv_a=adv_a[::-1].hex(),
+                 data=data.hex())
     elif pkt_type == "DISCOVERY":
         adv_a = fs.name_hex("ADVA", True, 6)
         payload = adv_a + _parse_ad_structures(fs)
