@@ -263,15 +263,74 @@ def parse_ext_adv_payload(p: bytes) -> ExtAdvFields:
     return out
 
 
+@dataclass
+class SyncInfo:
+    """Parsed SyncInfo field (periodic advertising, Core Vol 6 Part B
+    2.3.4.6): where/when/how the periodic train transmits. The wideband
+    sniffer needs no retune to observe it — the AA and CRC init here
+    are the keys a follower would load."""
+
+    sync_offset_us: int              # to the first AUX_SYNC_IND
+    offset_adjust: bool
+    interval_us: int                 # periodic interval (1.25 ms units)
+    chm: bytes                       # 5 bytes, display order (0x1F first)
+    sca: int
+    access_addr: int
+    crc_init: int                    # display-order value
+    event_counter: int
+
+
+def build_sync_info(sync_offset_us: int, interval_us: int, chm: bytes,
+                    sca: int, access_addr: int, crc_init: int,
+                    event_counter: int) -> bytes:
+    """Inverse of parse_sync_info (18 bytes; display-order chm/crc)."""
+    units_flag = 1 if sync_offset_us >= 30 * 0x1FFF else 0
+    off = sync_offset_us // (300 if units_flag else 30)
+    w = (off & 0x1FFF) | (units_flag << 13)
+    chm_air = bytes(chm)[::-1]
+    b8 = (chm_air[4] & 0x1F) | ((sca & 0x7) << 5)
+    return (w.to_bytes(2, "little")
+            + (interval_us // 1250).to_bytes(2, "little")
+            + chm_air[:4] + bytes([b8])
+            + (access_addr & 0xFFFFFFFF).to_bytes(4, "little")
+            + bytes([(crc_init >> 16) & 0xFF, (crc_init >> 8) & 0xFF,
+                     crc_init & 0xFF])
+            + (event_counter & 0xFFFF).to_bytes(2, "little"))
+
+
+def parse_sync_info(raw: bytes) -> SyncInfo:
+    """18-byte SyncInfo -> fields (layout per Core 2.3.4.6:
+    offset(13)|units(1)|adjust(1)|rfu(1), interval(16), chM(37)+sca(3),
+    AA(4 LE), CRCInit(3), eventCounter(2 LE))."""
+    raw = bytes(raw)
+    if len(raw) != 18:
+        raise ValueError(f"SyncInfo must be 18 bytes, got {len(raw)}")
+    w = int.from_bytes(raw[0:2], "little")
+    units = 300 if (w >> 13) & 1 else 30
+    out = SyncInfo(
+        sync_offset_us=(w & 0x1FFF) * units,
+        offset_adjust=bool((w >> 14) & 1),
+        interval_us=int.from_bytes(raw[2:4], "little") * 1250,
+        chm=_rev(bytes(raw[4:9]) [:4] + bytes([raw[8] & 0x1F])),
+        sca=(raw[8] >> 5) & 0x7,
+        access_addr=int.from_bytes(raw[9:13], "little"),
+        crc_init=(raw[13] << 16) | (raw[14] << 8) | raw[15],
+        event_counter=int.from_bytes(raw[16:18], "little"),
+    )
+    return out
+
+
 def build_ext_adv_payload(adv_mode: int = 0, adv_a: bytes | None = None,
                           target_a: bytes | None = None,
                           adi: tuple[int, int] | None = None,
                           aux_ptr: tuple[int, int, int, int] | None = None,
+                          sync_info: bytes | None = None,
                           tx_power: int | None = None,
                           adv_data: bytes = b"") -> bytes:
     """Inverse of parse_ext_adv_payload (TX side; display-order MACs).
 
-    adi = (did, sid); aux_ptr = (chan, ca, offset_us, phy).
+    adi = (did, sid); aux_ptr = (chan, ca, offset_us, phy);
+    sync_info = 18 raw bytes (build with build_sync_info).
     """
     hdr = bytearray()
     flags = 0
@@ -293,6 +352,11 @@ def build_ext_adv_payload(adv_mode: int = 0, adv_a: bytes | None = None,
         aux = ((chan & 0x3F) | ((ca & 1) << 6) | (units_flag << 7)
                | ((off & 0x1FFF) << 8) | ((phy & 0x7) << 21))
         hdr += aux.to_bytes(3, "little")
+    if sync_info is not None:
+        if len(sync_info) != 18:
+            raise ValueError("SyncInfo must be 18 bytes")
+        flags |= 0x20
+        hdr += bytes(sync_info)
     if tx_power is not None:
         flags |= 0x40
         hdr += bytes([tx_power & 0xFF])

@@ -116,3 +116,82 @@ class TestEndToEnd:
         assert p.header.pdu_type == AdvPduType.ADV_EXT_IND
         assert p.payload.ext is not None
         assert p.payload.adv_a == bytes.fromhex("a1b2c3d4e5f6")
+
+
+class TestSyncInfo:
+    def test_build_parse_roundtrip(self):
+        from btle_tpu.ll.pdu import build_sync_info, parse_sync_info
+
+        si = build_sync_info(3000, 20000,
+                             bytes([0x1F, 0xFF, 0xFF, 0xFF, 0xFF]), 5,
+                             0x60850A1B, 0xA77B22, 0x1234)
+        p = parse_sync_info(si)
+        assert (p.sync_offset_us, p.interval_us, p.sca) == (3000, 20000, 5)
+        assert p.access_addr == 0x60850A1B and p.crc_init == 0xA77B22
+        assert p.event_counter == 0x1234
+        assert p.chm == bytes([0x1F, 0xFF, 0xFF, 0xFF, 0xFF])
+        with pytest.raises(ValueError):
+            parse_sync_info(si[:-1])
+
+    def test_periodic_train_followed_by_rekey(self, rng):
+        """Wideband-native periodic advertising: the sniffer hears ALL
+        channels, so following a periodic train needs no CSA#2 channel
+        algorithm at all — parse the SyncInfo, re-key the data channels
+        with the train's AA/CRCinit (the ble_send_cmd register path),
+        and the AUX_SYNC_INDs decode wherever they hop."""
+        from btle_tpu.golden import model as G
+        from btle_tpu.ll.pdu import (build_ext_adv_payload, build_sync_info,
+                                     parse_adv_header, parse_adv_payload,
+                                     parse_sync_info)
+        from btle_tpu.stream.control import REG_ACCESS_ADDR, REG_CRC_INIT
+        from btle_tpu.tx.synth import scene_to_wideband
+        from btle_tpu.wideband import (WidebandConfig, WidebandSniffer,
+                                       synthesize_wideband)
+
+        per_aa = 0x71764129
+        per_crc = 0x555555           # keep the default table for synthesis
+        sync = build_sync_info(2400, 30000, bytes([0x1F] + [0xFF] * 4), 0,
+                               per_aa, per_crc, 7)
+        ext = build_ext_adv_payload(adv_mode=0,
+                                    adv_a=bytes.fromhex("0a0b0c0d0e0f"),
+                                    sync_info=sync)
+        pdu = B.bytes_to_bits(np.frombuffer(
+            bytes([0x07, len(ext)]) + ext, np.uint8))
+
+        n = 600_000
+        wi, wq = synthesize_wideband(
+            {38: G.gfsk_modulate_float(G.assemble_phy_bits(pdu, 38), 80)},
+            n, {38: 4_000 * 80})
+        # the periodic train: AUX_SYNC_INDs on two different data
+        # channels, framed with the train's OWN access address
+        train_payload = build_ext_adv_payload(adv_mode=0,
+                                              adv_data=b"\x55" * 6)
+        tp = B.bytes_to_bits(np.frombuffer(
+            bytes([0x07, len(train_payload)]) + train_payload, np.uint8))
+        aa_hex = int(per_aa).to_bytes(4, "little").hex()
+        for ch, t_us in ((11, 6_400), (29, 5_200)):
+            si, sq = synthesize_wideband(
+                {ch: G.gfsk_modulate_float(
+                    G.assemble_phy_bits(tp, ch, access_address_hex=aa_hex),
+                    80)}, n, {ch: t_us * 80})
+            wi += si
+            wq += sq
+
+        sn = WidebandSniffer(WidebandConfig())
+        pkts1 = sn.run(wi, wq)
+        ext_pkts = [p for p in pkts1 if p.crc_ok and p.channel == 38]
+        assert ext_pkts
+        pl = parse_adv_payload(bytes(ext_pkts[0].pdu_bytes[2:]),
+                               parse_adv_header(
+                                   bytes(ext_pkts[0].pdu_bytes[:2])).pdu_type)
+        info = parse_sync_info(pl.ext.sync_info)
+        assert info.access_addr == per_aa
+
+        # re-key the data channels with the sniffed train keys and rescan
+        sn2 = WidebandSniffer(WidebandConfig())
+        sn2.apply_control_registers([(REG_ACCESS_ADDR, info.access_addr),
+                                     (REG_CRC_INIT, info.crc_init)])
+        got = [p for p in sn2.run(wi, wq)
+               if p.crc_ok and p.channel in (11, 29)]
+        assert {p.channel for p in got} == {11, 29}
+        assert all(p.access_addr == per_aa for p in got)
