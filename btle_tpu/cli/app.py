@@ -252,7 +252,8 @@ def cmd_wideband(args):
     pcap = PcapWriter(args.pcap) if args.pcap else None
     runner = WidebandStreamRunner(
         sn, ndjson=ndjson, pcap=pcap,
-        text_fh=None if args.json else sys.stdout)
+        text_fh=None if args.json else sys.stdout,
+        ltk=bytes.fromhex(args.ltk) if args.ltk else None)
     runner.start()
     if args.live:
         _wideband_live(args, runner)
@@ -681,6 +682,11 @@ def build_parser():
     p.add_argument("--control-port", type=int, default=None, metavar="PORT",
                    help="listen for ble_send_cmd register writes and "
                         "apply them between blocks (--live)")
+    p.add_argument("--ltk", default=None, metavar="HEX32",
+                   help="long-term key (16 bytes hex): sessions derive "
+                        "from sniffed LL_ENC_REQ/RSP exchanges and "
+                        "encrypted data PDUs decrypt in-stream "
+                        "(plain:... in text, plain_hex in NDJSON)")
     p.add_argument("--follow", action="store_true",
                    help="follow CONNECT_REQs onto the data channels")
     p.add_argument("--max-follow", type=int, default=1, metavar="N",

@@ -133,3 +133,51 @@ class LlSession:
             self.counters[direction] = base + delta + 1
             return plain
         return None
+
+
+class SniffDecryptor:
+    """Passive per-connection decryption for a sniffer stream.
+
+    Feed every decoded packet (WidebandPacket-shaped: access_addr,
+    header/payload attached by the sniffer's parse). The decryptor
+    watches each connection's LL_ENC_REQ/LL_ENC_RSP fly by, derives the
+    session once both halves are seen, and then opportunistically
+    decrypts data PDUs (unknown direction: both are tried — the MIC
+    arbitrates; plaintext PDUs simply fail authentication and pass
+    through untouched).
+    """
+
+    def __init__(self, ltk: bytes):
+        self.ltk = bytes(ltk)
+        self._enc_req: dict[int, dict] = {}
+        self.sessions: dict[int, LlSession] = {}
+        self.decrypted = 0
+
+    def on_packet(self, pkt) -> bytes | None:
+        """Returns the decrypted payload when authentication succeeds."""
+        from .pdu import LlCtrlOpcode
+
+        aa = getattr(pkt, "access_addr", None)
+        if aa is None or not getattr(pkt, "crc_ok", False):
+            return None
+        ctrl = getattr(getattr(pkt, "payload", None), "ctrl", None)
+        if ctrl is not None:
+            if ctrl.opcode == int(LlCtrlOpcode.LL_ENC_REQ):
+                self._enc_req[aa] = ctrl.fields
+            elif (ctrl.opcode == int(LlCtrlOpcode.LL_ENC_RSP)
+                    and aa in self._enc_req):
+                self.sessions[aa] = LlSession.from_parsed_exchange(
+                    self.ltk, self._enc_req[aa], ctrl.fields)
+            return None
+        sess = self.sessions.get(aa)
+        if sess is None:
+            return None
+        raw = bytes(pkt.pdu_bytes)
+        if len(raw) < 2 + MIC_LEN + 1:
+            return None
+        for direction in (0, 1):
+            plain = sess.decrypt(raw[0], raw[2:], direction)
+            if plain is not None:
+                self.decrypted += 1
+                return plain
+        return None

@@ -53,14 +53,21 @@ class NdjsonEmitter:
 
     def pkt_data(self, ts: float, pkt: int, ch: int, aa: int, crc_ok: bool,
                  ll_pdu_type: int, ll_pdu_name: str, nesn: int, sn: int,
-                 md: int, plen: int, payload: bytes, rssi_dbm: int | None):
-        self._emit({
+                 md: int, plen: int, payload: bytes, rssi_dbm: int | None,
+                 plain_hex: str | None = None):
+        obj = {
             "v": SCHEMA_VERSION, "t": "pkt", "ts": ts, "pkt": pkt, "ch": ch,
             "aa": _hex_aa(aa), "crc_ok": bool(crc_ok), "kind": "data",
             "ll_pdu_type": ll_pdu_type, "ll_pdu_name": ll_pdu_name,
             "nesn": nesn, "sn": sn, "md": md, "plen": plen,
             "payload_hex": bytes(payload).hex(), "rssi_est": rssi_dbm,
-        })
+        }
+        if plain_hex is not None:
+            # additive schema field (the v1 contract allows additions):
+            # AES-CCM-authenticated plaintext when a session decrypted
+            # this PDU (wideband --ltk)
+            obj["plain_hex"] = plain_hex
+        self._emit(obj)
 
     def hop(self, ts: float, event: str, state_from: int, state_to: int,
             ch: int, freq_mhz: int, aa: int, crc_init: int,

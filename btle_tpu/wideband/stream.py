@@ -61,11 +61,19 @@ class WidebandStreamRunner:
     """
 
     def __init__(self, sn: WidebandSniffer, ndjson=None, pcap=None,
-                 text_fh=None):
+                 text_fh=None, ltk: bytes | None = None):
         self.sn = sn
         self.ndjson = ndjson
         self.pcap = pcap
         self.text_fh = text_fh
+        # optional passive decryption (ll.crypto.SniffDecryptor): with
+        # the LTK, sessions key themselves from the sniffed
+        # LL_ENC_REQ/RSP exchange and data PDUs decrypt in-stream
+        self.decryptor = None
+        if ltk is not None:
+            from ..ll.crypto import SniffDecryptor
+
+            self.decryptor = SniffDecryptor(ltk)
         self.pkt_count = 0
         self.mag_scale = 1.0        # RSSI calibration for integer inputs
         self.stats = StreamStats()
@@ -100,10 +108,14 @@ class WidebandStreamRunner:
     # ------------------------------------------------------------------
     def _emit_packet(self, p: WidebandPacket):
         self.pkt_count += 1
+        plain = (self.decryptor.on_packet(p)
+                 if self.decryptor is not None else None)
         if self.text_fh is not None:
             line = (f"ch{p.channel:02d} pos{p.sample_pos} "
                     f"crc{'0' if p.crc_ok else '1'} "
                     f"plen{p.payload_len} " + bytes(p.pdu_bytes).hex())
+            if plain is not None:
+                line += f" plain:{plain.hex()}"
             print(line, file=self.text_fh)
         if self.pcap and p.crc_ok:
             # the PHDR carries the AA that actually keyed the channel at
@@ -128,7 +140,8 @@ class WidebandStreamRunner:
             self.ndjson.pkt_data(
                 ts, self.pkt_count, p.channel, p.access_addr, p.crc_ok,
                 int(h.llid), h.llid.display_name, h.nesn, h.sn, h.md,
-                h.payload_len, payload_bytes, rssi)
+                h.payload_len, payload_bytes, rssi,
+                plain_hex=plain.hex() if plain is not None else None)
 
     def _emit_follow_events(self):
         sn = self.sn

@@ -180,3 +180,65 @@ class TestParsedExchange:
         sess = LlSession.from_parsed_exchange(LTK, req, rsp)
         raw = bytes(pkts[2].pdu_bytes)
         assert sess.decrypt(raw[0], raw[2:], 0) == secret
+
+
+class TestRunnerIntegration:
+    def test_wideband_ltk_decrypts_followed_connection(self, rng):
+        """The whole deployed story: CONNECT_REQ followed -> data
+        channels re-keyed -> LL_ENC_REQ/RSP sniffed on the connection's
+        AA -> encrypted PDU decrypts in-stream and lands in NDJSON as
+        plain_hex (wideband --ltk)."""
+        import io
+        import json
+
+        from test_hop import CONN_AA, CONN_AA_HEX, CRC_INIT_HEX, connect_req_pdu
+
+        from btle_tpu.golden import model as G
+        from btle_tpu.spec import bits as B
+        from btle_tpu.stream.ndjson import NdjsonEmitter
+        from btle_tpu.wideband import (WidebandConfig, WidebandSniffer,
+                                       synthesize_wideband)
+        from btle_tpu.wideband.stream import WidebandStreamRunner
+
+        tx = LlSession.from_enc_exchange(LTK, SKD_M, SKD_S, IV_M, IV_S)
+        secret = b"wideband-secret"
+        enc_payload = tx.encrypt(0x02, secret, 0)
+
+        enc_req = bytes([0x03, 23, 0x03]) + bytes(range(8)) + b"\x11\x22" \
+            + SKD_M + IV_M
+        enc_rsp = bytes([0x03, 13, 0x04]) + SKD_S + IV_S
+        enc_data = bytes([0x02, len(enc_payload)]) + enc_payload
+
+        block = 8192 * 20
+        n = 2 * block
+        wi = np.zeros(n, np.float32)
+        wq = np.zeros(n, np.float32)
+        si, sq = synthesize_wideband(
+            {37: G.gfsk_modulate_float(
+                G.assemble_phy_bits(connect_req_pdu(), 37), 80)},
+            n, {37: 20_000})
+        wi += si
+        wq += sq
+        conn_kw = dict(crc_init_hex=CRC_INIT_HEX,
+                       access_address_hex=CONN_AA_HEX)
+        for ch, octets, off in ((9, enc_req, block + 20_000),
+                                (9, enc_rsp, block + 60_000),
+                                (9, enc_data, block + 100_000)):
+            pdu = B.bytes_to_bits(np.frombuffer(octets, np.uint8))
+            si, sq = synthesize_wideband(
+                {ch: G.gfsk_modulate_float(
+                    G.assemble_phy_bits(pdu, ch, **conn_kw), 80)},
+                n, {ch: off})
+            wi += si
+            wq += sq
+
+        out = io.StringIO()
+        sn = WidebandSniffer(WidebandConfig(follow_connections=True))
+        runner = WidebandStreamRunner(sn, ndjson=NdjsonEmitter(out), ltk=LTK)
+        runner.run_capture(wi, wq)
+        evs = [json.loads(ln) for ln in out.getvalue().splitlines()]
+        data = [e for e in evs if e.get("kind") == "data" and e["crc_ok"]]
+        assert any(e["aa"] == f"{CONN_AA:08x}" for e in data)
+        plains = [e for e in data if "plain_hex" in e]
+        assert plains and plains[0]["plain_hex"] == secret.hex()
+        assert runner.decryptor.decrypted == 1
