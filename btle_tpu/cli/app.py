@@ -545,7 +545,9 @@ def cmd_iq_show(args):
 def cmd_recon(args):
     from . import recon
 
-    if args.op == "quickscan":
+    if args.op == "gatt":
+        out = recon.gatt(args.pcap, ltk_hex=args.ltk)
+    elif args.op == "quickscan":
         out = recon.quickscan(args.pcap)
     elif args.op == "profile":
         out = recon.profile(args.pcap, args.adv_a)
@@ -779,10 +781,14 @@ def build_parser():
     p.set_defaults(fn=cmd_iq_show)
 
     p = sub.add_parser("recon", help="recon operations on a pcap")
-    p.add_argument("op", choices=["quickscan", "profile", "diff", "entropy"])
+    p.add_argument("op", choices=["quickscan", "profile", "diff", "entropy",
+                                  "gatt"])
     p.add_argument("pcap")
     p.add_argument("pcap_b", nargs="?", default=None)
     p.add_argument("--adv-a", default=None)
+    p.add_argument("--ltk", default=None, metavar="HEX32",
+                   help="gatt: decrypt connection traffic with this LTK "
+                        "(sessions key from the capture's LL_ENC_REQ/RSP)")
     p.set_defaults(fn=cmd_recon)
 
     p = sub.add_parser("ber", help="BER sweep at a given ppm")

@@ -346,3 +346,85 @@ def payload_entropy(capture, adv_a: str) -> PayloadEntropyReport:
         sample_hex_last=(_short_hex(mat[-1].tobytes())
                          if len(blobs) > 1 else None),
     )
+
+
+class GattOp(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    name: str
+    handle: Optional[int] = None
+    mtu: Optional[int] = None
+    value_hex: Optional[str] = None
+    decrypted: bool = False
+
+
+class GattReport(BaseModel):
+    """ATT/GATT operations reconstructed from a capture's data PDUs —
+    L2CAP reassembly over the LL fragments (ll/l2cap.py), optionally
+    through LL decryption given the LTK (ll/crypto.py). The reference's
+    app layer stops at advertising AD structures; connection CONTENT is
+    new capability."""
+
+    model_config = ConfigDict(extra="forbid")
+    n_data_pdus: int
+    n_ctrl_pdus: int
+    n_decrypted: int
+    l2cap_discarded: int
+    ops: list[GattOp]
+
+
+def gatt(capture, ltk_hex: Optional[str] = None) -> GattReport:
+    """Walk a pcap's connection traffic -> reassembled ATT operations.
+
+    With ``ltk_hex`` the LL_ENC_REQ/RSP exchange in the same capture
+    keys the session and encrypted PDUs are decrypted first (both
+    directions tried per PDU — the sniffer cannot see direction)."""
+    from ..ll.l2cap import CID_ATT, L2capReassembler, parse_att
+    from ..ll.pdu import LlPduType, parse_ll_payload
+
+    cap = capture if isinstance(capture, CaptureFile) else load_pcap(capture)
+    decryptor = None
+    if ltk_hex is not None:
+        from ..ll.crypto import SniffDecryptor
+
+        decryptor = SniffDecryptor(bytes.fromhex(ltk_hex))
+    rs = L2capReassembler()
+    ops: list[GattOp] = []
+    n_data = n_ctrl = n_dec = 0
+    for pkt in sorted(cap.packets, key=lambda p: p.ts):
+        if pkt.is_adv or len(pkt.packet) < 2:
+            continue
+        llid = pkt.packet[0] & 0x03
+        payload = pkt.packet[2:]
+        if llid == 3:
+            n_ctrl += 1
+            if decryptor is not None:
+                try:
+                    ctrl = parse_ll_payload(payload, LlPduType.LL_CTRL).ctrl
+                except ValueError:
+                    continue
+                if ctrl is not None:
+                    decryptor.observe_ctrl(pkt.access_addr, ctrl.opcode,
+                                           ctrl.fields)
+            continue
+        if llid not in (1, 2):
+            continue
+        n_data += 1
+        plain = (decryptor.try_decrypt(pkt.access_addr, pkt.packet[0],
+                                       payload)
+                 if decryptor is not None else None)
+        body = plain if plain is not None else payload
+        if plain is not None:
+            n_dec += 1
+        for frame in rs.feed(llid, body):
+            if frame.cid != CID_ATT:
+                continue
+            op = parse_att(frame.payload)
+            if op is None:
+                continue
+            ops.append(GattOp(
+                name=op.name, handle=op.handle, mtu=op.mtu,
+                value_hex=op.value.hex() if op.value else None,
+                decrypted=plain is not None))
+    return GattReport(n_data_pdus=n_data, n_ctrl_pdus=n_ctrl,
+                      n_decrypted=n_dec,
+                      l2cap_discarded=rs.discarded, ops=ops)

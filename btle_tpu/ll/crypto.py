@@ -153,31 +153,41 @@ class SniffDecryptor:
         self.sessions: dict[int, LlSession] = {}
         self.decrypted = 0
 
-    def on_packet(self, pkt) -> bytes | None:
-        """Returns the decrypted payload when authentication succeeds."""
+    def observe_ctrl(self, aa: int, opcode: int, fields: dict) -> None:
+        """Feed a decoded LL ctrl PDU (keys sessions from ENC_REQ/RSP)."""
         from .pdu import LlCtrlOpcode
 
+        if opcode == int(LlCtrlOpcode.LL_ENC_REQ):
+            self._enc_req[aa] = fields
+        elif (opcode == int(LlCtrlOpcode.LL_ENC_RSP)
+                and aa in self._enc_req):
+            self.sessions[aa] = LlSession.from_parsed_exchange(
+                self.ltk, self._enc_req[aa], fields)
+
+    def try_decrypt(self, aa: int, header_byte: int,
+                    payload_mic: bytes) -> bytes | None:
+        """Attempt both directions against aa's session (if keyed)."""
+        sess = self.sessions.get(aa)
+        if sess is None or len(payload_mic) < MIC_LEN + 1:
+            return None
+        for direction in (0, 1):
+            plain = sess.decrypt(header_byte, payload_mic, direction)
+            if plain is not None:
+                self.decrypted += 1
+                return plain
+        return None
+
+    def on_packet(self, pkt) -> bytes | None:
+        """Sniffer-packet convenience (WidebandPacket-shaped): returns
+        the decrypted payload when authentication succeeds."""
         aa = getattr(pkt, "access_addr", None)
         if aa is None or not getattr(pkt, "crc_ok", False):
             return None
         ctrl = getattr(getattr(pkt, "payload", None), "ctrl", None)
         if ctrl is not None:
-            if ctrl.opcode == int(LlCtrlOpcode.LL_ENC_REQ):
-                self._enc_req[aa] = ctrl.fields
-            elif (ctrl.opcode == int(LlCtrlOpcode.LL_ENC_RSP)
-                    and aa in self._enc_req):
-                self.sessions[aa] = LlSession.from_parsed_exchange(
-                    self.ltk, self._enc_req[aa], ctrl.fields)
-            return None
-        sess = self.sessions.get(aa)
-        if sess is None:
+            self.observe_ctrl(aa, ctrl.opcode, ctrl.fields)
             return None
         raw = bytes(pkt.pdu_bytes)
-        if len(raw) < 2 + MIC_LEN + 1:
+        if len(raw) < 2:
             return None
-        for direction in (0, 1):
-            plain = sess.decrypt(raw[0], raw[2:], direction)
-            if plain is not None:
-                self.decrypted += 1
-                return plain
-        return None
+        return self.try_decrypt(aa, raw[0], raw[2:])
