@@ -114,8 +114,19 @@ def ble_iq_occupancy(iq_file: str, fmt: str = "i16",
     }
 
 
+def ble_gatt_report(pcap: str, ltk_hex: str | None = None) -> dict[str, Any]:
+    """Reconstruct the GATT conversation from a capture's connection
+    traffic: L2CAP reassembly over the LL fragments + ATT parse; with
+    ltk_hex the LL_ENC_REQ/RSP exchange in the same capture keys the
+    session and encrypted PDUs decrypt first. Beyond the reference's
+    5-tool surface — its app layer stops at advertising AD structures."""
+    from . import recon
+
+    return recon.gatt(pcap, ltk_hex=ltk_hex).model_dump(exclude_none=True)
+
+
 TOOLS = (ble_quickscan, ble_profile, ble_capture_to_pcap, ble_diff_pcaps,
-         ble_payload_entropy, ble_iq_occupancy)
+         ble_payload_entropy, ble_iq_occupancy, ble_gatt_report)
 
 
 def build_server():

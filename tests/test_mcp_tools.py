@@ -117,8 +117,27 @@ class TestToolBodies:
         assert abs(top["freq_hz"] - 2.403e9) < fs / 256
         assert top["duty"] > 0.9
 
+    def test_gatt_report(self, tmp_path):
+        """ATT over a plaintext connection capture -> machine-readable
+        GATT report."""
+        from btle_tpu.cli.mcp_server import ble_gatt_report
+        from btle_tpu.stream.pcap import PcapWriter
+
+        att = bytes([0x1B, 0x2A, 0x00]) + b"\x45"
+        frame = len(att).to_bytes(2, "little") + (4).to_bytes(2, "little") \
+            + att
+        pdu = bytes([0x02, len(frame)]) + frame
+        path = tmp_path / "g.pcap"
+        w = PcapWriter(str(path))
+        w.write_packet(pdu, 9, 0x60850A1B)
+        w.close()
+        out = ble_gatt_report(str(path))
+        assert out["n_data_pdus"] == 1
+        assert out["ops"][0]["name"] == "ATT_HANDLE_VALUE_NTF"
+        assert out["ops"][0]["handle"] == 0x2A
+
     def test_tool_registry_complete(self):
         names = {t.__name__ for t in TOOLS}
         assert names == {"ble_quickscan", "ble_profile", "ble_capture_to_pcap",
                          "ble_diff_pcaps", "ble_payload_entropy",
-                         "ble_iq_occupancy"}
+                         "ble_iq_occupancy", "ble_gatt_report"}
