@@ -218,3 +218,60 @@ class TestCliLive:
         objs = [json.loads(ln) for ln in out.splitlines()]
         got = {o["ch"] for o in objs if o["t"] == "pkt" and o["crc_ok"]}
         assert 37 in got or 38 in got, (out[:2000], err[:2000])
+
+
+class TestLiveFollow:
+    def test_live_loop_follows_connection(self, rng):
+        """CONNECT_REQ in an early block re-keys the data channels for
+        later blocks THROUGH the live ring loop (pipeline=1 keeps the
+        re-key same-cadence as the file path; deeper pipelines lag by
+        depth-1 blocks, documented)."""
+        runtime = pytest.importorskip("btle_tpu.runtime")
+        if not runtime.available():
+            pytest.skip("native runtime unavailable")
+        from test_hop import CONN_AA, CONN_AA_HEX, CRC_INIT_HEX
+
+        from btle_tpu.golden import model as G
+
+        cfg = WidebandConfig(scan_len_ch=8192, follow_connections=True)
+        block = cfg.scan_len_ch * 20
+        n = 3 * block
+        wi = np.zeros(n, np.float32)
+        wq = np.zeros(n, np.float32)
+        si, sq = synthesize_wideband({37: burst(connect_req_pdu(), 37)}, n,
+                                     {37: 30_000})
+        wi += si
+        wq += sq
+        data = B.bytes_to_bits(np.frombuffer(b"\x01\x05live!", np.uint8))
+        si, sq = synthesize_wideband(
+            {9: burst(data, 9, crc_init_hex=CRC_INIT_HEX,
+                      access_address_hex=CONN_AA_HEX)},
+            n, {9: 2 * block + 40_000})
+        wi += si
+        wq += sq
+
+        # trailing quiet air so the LAST content block still has a full
+        # block+halo available when the stop condition is polled
+        pad = block
+        inter = np.zeros(2 * (n + pad), np.int16)
+        inter[0 : 2 * n : 2] = np.clip(np.round(wi * 256), -32768, 32767)
+        inter[1 : 2 * n : 2] = np.clip(np.round(wq * 256), -32768, 32767)
+        ring = runtime.IqRingBuffer(1 << 24)
+        assert ring.write(inter, "i16") == n + pad
+
+        sn = WidebandSniffer(cfg)
+        out = io.StringIO()
+        runner = WidebandStreamRunner(sn, ndjson=NdjsonEmitter(out))
+        halo = sn.halo_ch * 20
+        runner.run_live(
+            ring, should_stop=lambda: ring.available_pairs < block + halo,
+            pipeline=1, scale=1.0 / 256)
+        objs = [json.loads(ln) for ln in out.getvalue().splitlines()]
+        hops = [o for o in objs if o["t"] == "hop"]
+        assert hops and hops[0]["event"] == "track_start"
+        data_pkts = [o for o in objs if o.get("kind") == "data"
+                     and o["crc_ok"] and o["ch"] == 9]
+        assert data_pkts
+        assert data_pkts[0]["aa"] == f"{CONN_AA:08x}"
+        assert data_pkts[0]["payload_hex"] == b"live!".hex()
+        ring.close()
