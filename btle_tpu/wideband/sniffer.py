@@ -468,17 +468,22 @@ class WidebandSniffer:
         # into a single int32 vector — one device program per block and
         # one host fetch per consume (every extra program/fetch is a
         # ~25 ms round trip through a remote device link)
-        if self._shapes_cache is None:
+        cache_key = (dxi.shape, str(dxi.dtype))
+        if self._shapes_cache is None or self._shapes_cache[0] != cache_key:
+            # keyed by input shape/dtype: a caller may feed blocks of a
+            # different length than wb_block_len (run() pads, but the
+            # API does not require it)
             if self.cfg.fused:
                 from .fused import wideband_scan_fused as _sf
             else:
                 _sf = wideband_scan
             out_sh = jax.eval_shape(partial(_sf, **kw), *args)
-            self._shapes_cache = {k: (out_sh[k].shape,
-                                      np.dtype(out_sh[k].dtype))
-                                  for k in self._PACK_KEYS}
+            self._shapes_cache = (cache_key,
+                                  {k: (out_sh[k].shape,
+                                       np.dtype(out_sh[k].dtype))
+                                   for k in self._PACK_KEYS})
         packed = _scan_and_pack(*args, fused=self.cfg.fused, **kw)
-        shapes_dtypes = self._shapes_cache
+        shapes_dtypes = self._shapes_cache[1]
         # snapshot the keys THIS scan used (follow handling may re-key
         # self.aa_rows for later blocks while this one is in flight)
         return {"packed": packed, "shapes": shapes_dtypes,
