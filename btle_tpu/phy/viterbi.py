@@ -101,6 +101,78 @@ def viterbi_decode(la, lb, n_valid):
     return bits_rev, pm_end[0]
 
 
+def _radix2_tables():
+    """Transition tables for the two-steps-per-scan-iteration trellis.
+
+    For next-state ns (after TWO inputs) there are 4 predecessor paths
+    j in 0..3: PRED2[ns, j] = s_k, and the consumed inputs are fixed by
+    ns (x2 = ns&1, x1 = (ns>>1)&1). Output-sign tables for the four
+    branch symbols (a1 b1 a2 b2) are precomputed per (ns, j)."""
+    pred = np.zeros((N_STATES, 4), np.int32)
+    a1 = np.zeros((N_STATES, 4), np.float32)
+    b1 = np.zeros((N_STATES, 4), np.float32)
+    a2 = np.zeros((N_STATES, 4), np.float32)
+    b2 = np.zeros((N_STATES, 4), np.float32)
+    for ns in range(N_STATES):
+        x2 = ns & 1
+        x1 = (ns >> 1) & 1
+        j = 0
+        for s_k in range(N_STATES):
+            s_mid = ((s_k << 1) | x1) & (N_STATES - 1)
+            if ((s_mid << 1) | x2) & (N_STATES - 1) != ns:
+                continue
+            pred[ns, j] = s_k
+            a1[ns, j] = _A[s_k, x1]
+            b1[ns, j] = _B[s_k, x1]
+            a2[ns, j] = _A[s_mid, x2]
+            b2[ns, j] = _B[s_mid, x2]
+            j += 1
+        assert j == 4
+    return pred, a1, b1, a2, b2
+
+
+_P2, _A1, _B1, _A2, _B2 = _radix2_tables()
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def viterbi_decode_r2(la, lb, n_steps: int):
+    """Radix-2 Viterbi over an UNMASKED trellis of exactly ``n_steps``
+    inputs (n_steps even): two trellis steps per scan iteration halve
+    the irreducibly sequential chain. Produces the SAME maximum-
+    likelihood path as viterbi_decode (ties may resolve differently —
+    measure-zero for float metrics).
+    """
+    assert n_steps % 2 == 0, "radix-2 path needs an even step count"
+    la = jnp.asarray(la, jnp.float32)[:n_steps].reshape(-1, 2)
+    lb = jnp.asarray(lb, jnp.float32)[:n_steps].reshape(-1, 2)
+
+    p2 = jnp.asarray(_P2)
+    A1, B1 = jnp.asarray(_A1), jnp.asarray(_B1)
+    A2, B2 = jnp.asarray(_A2), jnp.asarray(_B2)
+
+    neg = jnp.float32(-1e30)
+    pm0 = jnp.full((N_STATES,), neg).at[0].set(0.0)
+
+    def fwd(pm, inp):
+        la_p, lb_p = inp
+        bm = (A1 * la_p[0] + B1 * lb_p[0]
+              + A2 * la_p[1] + B2 * lb_p[1])        # (8, 4)
+        cand = pm[p2] + bm
+        j = jnp.argmax(cand, axis=1)
+        return jnp.max(cand, axis=1), j.astype(jnp.int8)
+
+    pm_end, decs = jax.lax.scan(fwd, pm0, (la, lb), unroll=4)
+
+    def back(state, dec_p):
+        j = dec_p[state]
+        bits2 = jnp.stack([((state >> 1) & 1).astype(jnp.int8),
+                           (state & 1).astype(jnp.int8)])   # (x1, x2)
+        return p2[state, j], bits2
+
+    _, bits_rev = jax.lax.scan(back, jnp.int32(0), decs, reverse=True)
+    return bits_rev.reshape(-1), pm_end[0]
+
+
 def fec_decode_bits(fec_bits, n_valid=None):
     """Hard-decision convenience: interleaved [a0 b0 a1 b1 ...] 0/1 ->
     decoded input bits (incl. the TERM zeros)."""

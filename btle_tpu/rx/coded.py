@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..phy.demodulator import phase_diff
-from ..phy.viterbi import viterbi_decode
+from ..phy.viterbi import viterbi_decode_r2
 from ..spec import bits as B
 from ..spec import coded as K
 from ..spec import crc24 as C
@@ -45,6 +45,11 @@ from ..spec import whitening as W
 MAX_PDU_BYTES = 42                    # 2 header + 1..39 payload + margin
 MAX_PDU_BITS = MAX_PDU_BYTES * 8
 MAX_FEC2_IN = MAX_PDU_BITS + 24 + K.N_TERM
+# trellis length actually decoded: rounded up to even for the radix-2
+# Viterbi (two steps per scan iteration — halves the sequential chain);
+# the extra step consumes one more REAL symbol pair from the stream,
+# and only the first MAX_PDU_BITS+24 decoded bits are consumed
+DEC_STEPS = MAX_FEC2_IN + (MAX_FEC2_IN % 2)
 THR_FRAC = 0.78                       # AA sync agreement threshold
 # GF(2)-matmul prefix CRC over the 45-byte body window (42 PDU + 3 CRC)
 # — same reformulation as the uncoded decode (rx.pipeline): replaces a
@@ -150,7 +155,7 @@ def coded_sync_and_decode(i, q, aa_pm, ci_pm, whiten_bits, crc_init_table,
 
         def metrics(s):
             p_sym = 1 if s == 2 else 4
-            n_sym = MAX_FEC2_IN * 2 * p_sym
+            n_sym = DEC_STEPS * 2 * p_sym
             sym_idx = fec2_base + jnp.arange(n_sym) * sps
             soft = d[jnp.clip(sym_idx, 0, n - 1)]
             if s == 2:
@@ -166,7 +171,7 @@ def coded_sync_and_decode(i, q, aa_pm, ci_pm, whiten_bits, crc_init_table,
         la2, lb2 = metrics(2)
         la = jnp.where(use_s2, la2, la8)
         lb = jnp.where(use_s2, lb2, lb8)
-        bits, _ = viterbi_decode(la, lb, MAX_FEC2_IN)
+        bits, _ = viterbi_decode_r2(la, lb, DEC_STEPS)
         body = bits[: MAX_PDU_BITS + 24] ^ whiten_bits.astype(jnp.int8)
         pdu_bits = body[:MAX_PDU_BITS]
 

@@ -230,3 +230,20 @@ class TestCli:
         assert " crc0 " in r2.stdout
         assert f"S={phy[-1]}" in r2.stdout
         assert "0f0e0d0c0b0a0011" in r2.stdout
+
+
+class TestViterbiRadix2:
+    def test_matches_radix1_on_noise(self, rng):
+        from btle_tpu.phy.viterbi import viterbi_decode, viterbi_decode_r2
+
+        for _ in range(10):
+            n = int(rng.integers(4, 150)) * 2
+            msg = np.concatenate(
+                [rng.integers(0, 2, n - 3), np.zeros(3)]).astype(np.int8)
+            enc = K.fec_encode(msg).astype(np.float32) * 2 - 1
+            noisy = enc + rng.normal(0, 0.55, enc.shape).astype(np.float32)
+            la, lb = noisy[0::2], noisy[1::2]
+            b1, m1 = viterbi_decode(jnp.asarray(la), jnp.asarray(lb), n)
+            b2, m2 = viterbi_decode_r2(jnp.asarray(la), jnp.asarray(lb), n)
+            np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+            assert abs(float(m1) - float(m2)) < 1e-3
