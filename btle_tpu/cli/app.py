@@ -165,11 +165,49 @@ def _cmd_decode_coded(args):
                         access_address_hex=aa_hex,
                         crc_init_hex=args.crc_init, max_candidates=8)
     pcap = PcapWriter(args.pcap) if getattr(args, "pcap", None) else None
-    for p in pkts:
-        print(f"ch{args.channel:02d} pos{p['pos']} "
-              f"crc{'0' if p['crc_ok'] else '1'} S={p['s']} "
-              f"plen{p['payload_len']} aa_agree{p['aa_agree']} "
-              + bytes(p["pdu_bytes"]).hex())
+    emitter = None
+    if getattr(args, "json", False):
+        import time as _time
+
+        from ..ll.pdu import (AdvPduType, LlPduType, extract_adv_a,
+                              parse_adv_header, parse_adv_payload,
+                              parse_ll_header, parse_ll_payload)
+        from ..stream import NdjsonEmitter
+
+        emitter = NdjsonEmitter()
+    for k, p in enumerate(pkts):
+        if emitter is None:
+            print(f"ch{args.channel:02d} pos{p['pos']} "
+                  f"crc{'0' if p['crc_ok'] else '1'} S={p['s']} "
+                  f"plen{p['payload_len']} aa_agree{p['aa_agree']} "
+                  + bytes(p["pdu_bytes"]).hex())
+        else:
+            pdu = bytes(p["pdu_bytes"])
+            adv = args.channel in (37, 38, 39)
+            ts = _time.time()
+            try:
+                if adv:
+                    hdr = parse_adv_header(pdu[:2])
+                    try:
+                        pl = parse_adv_payload(pdu[2:], hdr.pdu_type)
+                        adv_a = extract_adv_a(pl, hdr.pdu_type)
+                    except ValueError:
+                        adv_a = None
+                    emitter.pkt_adv(ts, k + 1, args.channel,
+                                    int(aa_hex, 16), p["crc_ok"],
+                                    int(hdr.pdu_type),
+                                    hdr.pdu_type.display_name, hdr.tx_add,
+                                    hdr.rx_add, hdr.payload_len, adv_a,
+                                    pdu[2:], None)
+                else:
+                    hdr = parse_ll_header(pdu[:2])
+                    emitter.pkt_data(ts, k + 1, args.channel,
+                                     int(aa_hex, 16), p["crc_ok"],
+                                     int(hdr.llid), hdr.llid.display_name,
+                                     hdr.nesn, hdr.sn, hdr.md,
+                                     hdr.payload_len, pdu[2:], None)
+            except ValueError:
+                pass
         if pcap and p["crc_ok"]:
             pcap.write_packet(bytes(p["pdu_bytes"]), args.channel,
                               int(aa_hex, 16))

@@ -230,6 +230,17 @@ class TestCli:
         assert " crc0 " in r2.stdout
         assert f"S={phy[-1]}" in r2.stdout
         assert "0f0e0d0c0b0a0011" in r2.stdout
+        # --json: the same ABI as every other decode surface
+        import json as _json
+
+        r3 = subprocess.run(
+            [sys.executable, "-m", "btle_tpu", "decode", "--bin", str(out),
+             "--format", "f32", "--phy", phy, "--channel", "37", "--json"],
+            capture_output=True, text=True)
+        assert r3.returncode == 0, r3.stderr
+        evs = [_json.loads(ln) for ln in r3.stdout.splitlines()]
+        assert evs and evs[0]["kind"] == "adv" and evs[0]["crc_ok"]
+        assert evs[0]["adv_a"] == "0a:0b:0c:0d:0e:0f"
 
 
 class TestViterbiRadix2:
